@@ -1,0 +1,188 @@
+"""ORC-v1-style integer RLE + byte RLE (kernels K4/K5).
+
+Wire semantics exactly as the reference decodes them
+(`/root/reference/parser/js/src/decoder/decodingUtils.ts:230-265` int RLE,
+`:373-401` byte RLE):
+
+- int RLE block: header byte ``h``.
+  ``h <= 0x7f``  -> run of ``h+3`` values ``first + i*delta`` where ``delta``
+  is one int8 byte and ``first`` a varint (zigzag varint when signed).
+  ``h > 0x7f``   -> ``256-h`` literal varints (zigzag when signed).
+- byte RLE block: ``h <= 0x7f`` -> ``h+3`` copies of the next byte;
+  ``h > 0x7f`` -> ``256-h`` literal bytes.
+
+The encoder here emits valid blocks (greedy: constant-int8-delta runs of
+length >= 3, literals in <=128 chunks); any valid emission decodes
+identically, so bit-equality with the reference *encoder* is not required —
+golden-fixture conformance is on the decode side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cov_tiles_spark.covt.varint import (
+    decode_varint,
+    decode_varints,
+    encode_varints,
+    zigzag_decode,
+    zigzag_encode,
+)
+
+_MAX_RUN = 127 + 3  # header 0x7f
+_MAX_LITERALS = 128  # header 0x80
+
+
+def decode_int_rle(
+    buf: np.ndarray, n: int, offset: int = 0, signed: bool = False
+) -> tuple[np.ndarray, int]:
+    """Decode ``n`` integers; returns (int64/uint64 array, new offset)."""
+    out = np.empty(n, dtype=np.int64 if signed else np.uint64)
+    count = 0
+    while count < n:
+        header = int(buf[offset])
+        offset += 1
+        if header <= 0x7F:
+            run = header + 3
+            delta = int(np.int8(buf[offset]))
+            offset += 1
+            first, offset = decode_varint(buf, offset)
+            if signed:
+                first = int(zigzag_decode(np.array([first], dtype=np.uint64))[0])
+            out[count : count + run] = first + np.arange(run, dtype=np.int64) * delta
+            count += run
+        else:
+            lit = 256 - header
+            vals, offset = decode_varints(buf, lit, offset)
+            if signed:
+                vals = zigzag_decode(vals)
+            out[count : count + lit] = vals
+            count += lit
+    return out, offset
+
+
+def _emit_literals(parts: list[bytes], vals: np.ndarray, signed: bool) -> None:
+    for i in range(0, len(vals), _MAX_LITERALS):
+        chunk = vals[i : i + _MAX_LITERALS]
+        parts.append(bytes([256 - len(chunk)]))
+        u = zigzag_encode(chunk) if signed else chunk.astype(np.uint64)
+        parts.append(encode_varints(u))
+
+
+def _emit_run(parts: list[bytes], first: int, delta: int, length: int, signed: bool) -> None:
+    while length >= 3:
+        run = min(length, _MAX_RUN)
+        parts.append(bytes([run - 3]))
+        parts.append(np.int8(delta).tobytes())
+        if signed:
+            parts.append(
+                encode_varints(zigzag_encode(np.array([first], dtype=np.int64)))
+            )
+        else:
+            parts.append(encode_varints(np.array([first], dtype=np.uint64)))
+        first += delta * run
+        length -= run
+    if length:  # <3 leftover -> literals
+        tail = first + np.arange(length, dtype=np.int64) * delta
+        _emit_literals(parts, tail, signed)
+
+
+def encode_int_rle(values: np.ndarray, signed: bool = False) -> bytes:
+    """Encode integers as ORC-v1-style RLE blocks."""
+    v = np.asarray(values).astype(np.int64, copy=False)
+    n = v.shape[0]
+    if n == 0:
+        return b""
+    if n == 1:
+        parts: list[bytes] = []
+        _emit_literals(parts, v, signed)
+        return b"".join(parts)
+    deltas = np.diff(v)
+    runnable = (deltas >= -128) & (deltas <= 127)
+    # stretch starts: where delta changes or becomes non-runnable
+    change = np.empty(n - 1, dtype=bool)
+    change[0] = True
+    change[1:] = (deltas[1:] != deltas[:-1]) | ~runnable[1:] | ~runnable[:-1]
+    starts = np.flatnonzero(change)  # indices into deltas
+    ends = np.append(starts[1:] - 1, n - 2)  # inclusive end in delta space
+    parts = []
+    lit_start = 0  # first value index not yet emitted
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        d = int(deltas[s])
+        n_vals = e - s + 2  # deltas s..e cover values s..e+1
+        if n_vals >= 3 and runnable[s]:
+            run_first = max(s, lit_start)
+            run_len = e + 2 - run_first  # values run_first..e+1
+            if run_len >= 3:
+                if run_first > lit_start:
+                    _emit_literals(parts, v[lit_start:run_first], signed)
+                _emit_run(parts, int(v[run_first]), d, run_len, signed)
+                lit_start = e + 2
+    if lit_start < n:
+        _emit_literals(parts, v[lit_start:], signed)
+    return b"".join(parts)
+
+
+def decode_byte_rle(
+    buf: np.ndarray, n_bytes: int, offset: int = 0
+) -> tuple[np.ndarray, int]:
+    """Decode ``n_bytes`` bytes; returns (uint8 array, new offset)."""
+    out = np.empty(n_bytes, dtype=np.uint8)
+    count = 0
+    while count < n_bytes:
+        header = int(buf[offset])
+        offset += 1
+        if header <= 0x7F:
+            run = header + 3
+            out[count : count + run] = buf[offset]
+            offset += 1
+            count += run
+        else:
+            lit = 256 - header
+            out[count : count + lit] = buf[offset : offset + lit]
+            offset += lit
+            count += lit
+    return out, offset
+
+
+def encode_byte_rle(values: np.ndarray) -> bytes:
+    """Encode bytes as RLE blocks (runs of >=3 equal bytes, else literals)."""
+    v = np.asarray(values).astype(np.uint8, copy=False)
+    n = v.shape[0]
+    if n == 0:
+        return b""
+    # boundaries of equal-value stretches
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = v[1:] != v[:-1]
+    starts = np.flatnonzero(change)
+    lens = np.diff(np.append(starts, n))
+    parts: list[bytes] = []
+    lit_buf: list[np.ndarray] = []
+
+    def flush_literals() -> None:
+        if not lit_buf:
+            return
+        lits = np.concatenate(lit_buf)
+        for i in range(0, len(lits), _MAX_LITERALS):
+            chunk = lits[i : i + _MAX_LITERALS]
+            parts.append(bytes([256 - len(chunk)]))
+            parts.append(chunk.tobytes())
+        lit_buf.clear()
+
+    for s, ln in zip(starts.tolist(), lens.tolist()):
+        total = ln
+        if ln >= 3:
+            flush_literals()
+            val = v[s : s + 1].tobytes()
+            while ln >= 3:
+                run = min(ln, _MAX_RUN)
+                parts.append(bytes([run - 3]))
+                parts.append(val)
+                ln -= run
+            if ln:  # <3 leftover of a long stretch -> literals
+                lit_buf.append(v[s + total - ln : s + total])
+        else:
+            lit_buf.append(v[s : s + ln])
+    flush_literals()
+    return b"".join(parts)

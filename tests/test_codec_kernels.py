@@ -1,0 +1,228 @@
+"""Codec kernel unit tests.
+
+The literal byte vectors are ported from the reference's jest suite
+(`/root/reference/parser/js/test/unit/decoder/decodingUtils.spec.ts`) per
+FIXTURES.md §5; round-trip tests use seeded deterministic arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cov_tiles_spark.covt.bitset import pack_bitset, unpack_bitset
+from cov_tiles_spark.covt.rle import (
+    decode_byte_rle,
+    decode_int_rle,
+    encode_byte_rle,
+    encode_int_rle,
+)
+from cov_tiles_spark.covt.sfc import (
+    hilbert_d2xy,
+    hilbert_decode,
+    hilbert_encode,
+    hilbert_xy2d,
+    morton_decode,
+    morton_encode,
+)
+from cov_tiles_spark.covt.varint import (
+    decode_delta_zigzag_varints,
+    decode_varints,
+    decode_zigzag_varints,
+    encode_delta_zigzag_varints,
+    encode_varints,
+    encode_zigzag_varints,
+    zigzag_decode,
+    zigzag_encode,
+)
+
+RNG = np.random.default_rng(42)
+
+
+class TestVarint:
+    # vectors from decodingUtils.spec.ts:10-53
+    def test_decode_1_byte(self):
+        vals, off = decode_varints(np.array([10], dtype=np.uint8), 1)
+        assert vals[0] == 10 and off == 1
+
+    def test_decode_4_bytes(self):
+        buf = np.array([0x80, 0x80, 0x80, 4], dtype=np.uint8)
+        vals, off = decode_varints(buf, 1)
+        assert vals[0] == 8388608 and off == 4
+
+    def test_decode_4_bytes_with_offset(self):
+        buf = np.array([0x80, 0x80, 0x80, 0x80, 0x80, 4], dtype=np.uint8)
+        vals, off = decode_varints(buf, 1, offset=2)
+        assert vals[0] == 8388608 and off == 6
+
+    def test_decode_7_bytes_with_offset(self):
+        buf = np.array([0x80] * 8 + [4], dtype=np.uint8)
+        vals, off = decode_varints(buf, 1, offset=2)
+        assert vals[0] == 17592186044416 and off == 9
+
+    def test_zigzag_negative(self):
+        # decodingUtils.spec.ts:56-67 -> [155, 4] = -270
+        buf = np.array([155, 4], dtype=np.uint8)
+        vals, off = decode_zigzag_varints(buf, 1)
+        assert vals[0] == -270 and off == 2
+
+    def test_roundtrip_uint64(self):
+        vals = np.concatenate(
+            [
+                np.array([0, 1, 127, 128, 2**35, 2**53 - 1, 2**63], dtype=np.uint64),
+                RNG.integers(0, 2**63, 500).astype(np.uint64),
+            ]
+        )
+        buf = np.frombuffer(encode_varints(vals), dtype=np.uint8)
+        out, off = decode_varints(buf, len(vals))
+        np.testing.assert_array_equal(out, vals)
+        assert off == len(buf)
+
+    def test_roundtrip_zigzag(self):
+        vals = np.concatenate(
+            [
+                np.array([0, -1, 1, -2**31, 2**31, -(2**62)], dtype=np.int64),
+                RNG.integers(-(2**40), 2**40, 500),
+            ]
+        )
+        buf = np.frombuffer(encode_zigzag_varints(vals), dtype=np.uint8)
+        out, _ = decode_zigzag_varints(buf, len(vals))
+        np.testing.assert_array_equal(out, vals)
+
+    def test_roundtrip_delta(self):
+        vals = np.sort(RNG.integers(-(10**6), 10**6, 1000))
+        buf = np.frombuffer(encode_delta_zigzag_varints(vals), dtype=np.uint8)
+        out, _ = decode_delta_zigzag_varints(buf, len(vals))
+        np.testing.assert_array_equal(out, vals)
+
+    def test_zigzag_pure(self):
+        v = np.array([0, -1, 1, -2, 2, -(2**62)], dtype=np.int64)
+        np.testing.assert_array_equal(zigzag_decode(zigzag_encode(v)), v)
+        np.testing.assert_array_equal(
+            zigzag_encode(np.array([-1, 1], dtype=np.int64)),
+            np.array([1, 2], dtype=np.uint64),
+        )
+
+
+class TestIntRle:
+    def test_runs(self):
+        # decodingUtils.spec.ts:70-78: [2,1,1,2,1,1] -> [1..5, 1..5]
+        buf = np.array([2, 1, 1, 2, 1, 1], dtype=np.uint8)
+        vals, off = decode_int_rle(buf, 10, signed=False)
+        np.testing.assert_array_equal(vals, [1, 2, 3, 4, 5, 1, 2, 3, 4, 5])
+        assert off == 6
+
+    def test_literals_and_runs_signed(self):
+        # decodingUtils.spec.ts:80-103 (signed variant, decodeRleTest)
+        run1 = [0x61, 0x00, 0x0E]
+        lits = [0xFB] + [(i >> 31) ^ (i << 1) for i in [0x02, 0x03, 0x06, 0x07, 0xB]]
+        run2 = [0x2F] + [((i >> 31) & 1) ^ ((i << 1) & 0xFF) for i in [-1, 0x32]]
+        buf = np.array(run1 + lits + run2, dtype=np.uint8)
+        expected = [7] * 100 + [2, 3, 6, 7, 11] + list(range(50, 0, -1))
+        vals, off = decode_int_rle(buf, len(expected), signed=True)
+        np.testing.assert_array_equal(vals, expected)
+        assert off == 12
+
+    @pytest.mark.parametrize("signed", [False, True])
+    def test_roundtrip(self, signed):
+        cases = [
+            np.arange(1000, dtype=np.int64),  # pure arithmetic run
+            np.full(500, 7, dtype=np.int64),  # constant
+            RNG.integers(0, 10**6, 777),  # random literals
+            np.repeat(RNG.integers(0, 100, 50), RNG.integers(1, 40, 50)),
+            np.array([5], dtype=np.int64),
+            np.array([], dtype=np.int64),
+        ]
+        if signed:
+            cases.append(RNG.integers(-(10**6), 10**6, 777))
+            cases.append(np.arange(500, 0, -1, dtype=np.int64) - 250)
+        for vals in cases:
+            vals = vals.astype(np.int64)
+            buf = np.frombuffer(encode_int_rle(vals, signed=signed), dtype=np.uint8)
+            out, off = decode_int_rle(buf, len(vals), signed=signed)
+            np.testing.assert_array_equal(out.astype(np.int64), vals)
+            assert off == len(buf)
+
+
+class TestByteRle:
+    def test_roundtrip(self):
+        cases = [
+            np.full(1000, 3, dtype=np.uint8),
+            RNG.integers(0, 256, 500).astype(np.uint8),
+            np.repeat(RNG.integers(0, 4, 60), RNG.integers(1, 50, 60)).astype(np.uint8),
+            np.array([1, 1], dtype=np.uint8),
+            np.array([], dtype=np.uint8),
+        ]
+        for vals in cases:
+            buf = np.frombuffer(encode_byte_rle(vals), dtype=np.uint8)
+            out, off = decode_byte_rle(buf, len(vals))
+            np.testing.assert_array_equal(out, vals)
+            assert off == len(buf)
+
+
+class TestBitset:
+    def test_reference_vector(self):
+        # decodingUtils.spec.ts:106-113: bytes [0,2] -> bit 9 set, bit 8 unset
+        packed = np.array([0, 2], dtype=np.uint8)
+        bits = unpack_bitset(packed, 16)
+        assert bits[9] and not bits[8]
+
+    def test_roundtrip(self):
+        bits = RNG.random(123) > 0.5
+        packed = pack_bitset(bits)
+        np.testing.assert_array_equal(unpack_bitset(packed, 123), bits)
+
+
+class TestSfc:
+    def test_morton_roundtrip(self):
+        extent = 4096
+        x = RNG.integers(-2048, 2048, 1000)
+        y = RNG.integers(-2048, 2048, 1000)
+        code = morton_encode(x, y, extent)
+        dx, dy = morton_decode(code, extent)
+        np.testing.assert_array_equal(dx, x)
+        np.testing.assert_array_equal(dy, y)
+
+    def test_morton_known(self):
+        # interleave(3, 5) = 0b100111 = 39 (x even bits, y odd bits)
+        code = morton_encode(np.array([3]), np.array([5]), 0)
+        assert code[0] == 39
+
+    def test_hilbert_roundtrip(self):
+        for bits in (13, 14):
+            n = 1 << bits
+            x = RNG.integers(0, n, 1000).astype(np.uint64)
+            y = RNG.integers(0, n, 1000).astype(np.uint64)
+            d = hilbert_xy2d(bits, x, y)
+            rx, ry = hilbert_d2xy(bits, d)
+            np.testing.assert_array_equal(rx, x)
+            np.testing.assert_array_equal(ry, y)
+
+    def test_hilbert_order2_exhaustive(self):
+        # canonical order-2 Hilbert curve: visit order of the 4x4 grid
+        expected = {
+            (0, 0): 0, (1, 0): 1, (1, 1): 2, (0, 1): 3,
+            (0, 2): 4, (0, 3): 5, (1, 3): 6, (1, 2): 7,
+            (2, 2): 8, (2, 3): 9, (3, 3): 10, (3, 2): 11,
+            (3, 1): 12, (2, 1): 13, (2, 0): 14, (3, 0): 15,
+        }
+        xs = np.array([k[0] for k in expected], dtype=np.uint64)
+        ys = np.array([k[1] for k in expected], dtype=np.uint64)
+        ds = hilbert_xy2d(2, xs, ys)
+        np.testing.assert_array_equal(ds, list(expected.values()))
+
+    def test_hilbert_locality(self):
+        # consecutive d values must be grid neighbors (property of the curve)
+        bits = 6
+        d = np.arange(4**bits, dtype=np.uint64)
+        x, y = hilbert_d2xy(bits, d)
+        step = np.abs(np.diff(x.astype(np.int64))) + np.abs(np.diff(y.astype(np.int64)))
+        assert (step == 1).all()
+
+    def test_extent_shift_roundtrip(self):
+        x = np.array([-2048, 0, 2047], dtype=np.int64)
+        y = np.array([2047, -1, 0], dtype=np.int64)
+        d = hilbert_encode(x, y, 4096, 13)
+        rx, ry = hilbert_decode(d, 4096, 13)
+        np.testing.assert_array_equal(rx, x)
+        np.testing.assert_array_equal(ry, y)
