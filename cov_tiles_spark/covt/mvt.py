@@ -229,3 +229,122 @@ def decode_mvt(tile: bytes) -> list[MvtLayer]:
         else:
             offset = _skip(buf, offset, wire)
     return layers
+
+
+# ---------- minimal MVT writer (benchmark baseline) ----------
+#
+# Emits spec-valid MVT 2.1 bytes for point/linestring/polygon features.
+# Used only as the row-oriented *baseline encoding* our per-zoom
+# compression ratios are measured against (BASELINE.md methodology:
+# reduction = 1 - covt_size/mvt_size, CovtConverterTest.java:285).
+
+def _key(field_id: int, wire: int) -> bytes:
+    return _encode_varint_single((field_id << 3) | wire)
+
+
+def _encode_varint_single(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _ld(field_id: int, payload: bytes) -> bytes:
+    return _key(field_id, 2) + _encode_varint_single(len(payload)) + payload
+
+
+def _zz(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _encode_value(v: Any) -> bytes:
+    if isinstance(v, bool):
+        return _key(7, 0) + _encode_varint_single(int(v))
+    if isinstance(v, (int, np.integer)):
+        if v >= 0:
+            return _key(5, 0) + _encode_varint_single(int(v))
+        return _key(6, 0) + _encode_varint_single(_zz(int(v)))
+    if isinstance(v, (float, np.floating)):
+        return _key(2, 5) + struct.pack("<f", float(v))
+    return _ld(1, str(v).encode("utf-8"))
+
+
+def encode_mvt_layer(
+    name: str,
+    features: list[dict],
+    extent: int = 4096,
+) -> bytes:
+    """features: [{id, geom_type (1|2|3), parts: [[(x,y),...]], properties}]."""
+    keys: list[str] = []
+    key_idx: dict[str, int] = {}
+    values: list[bytes] = []
+    value_idx: dict[bytes, int] = {}
+
+    feats = bytearray()
+    for f in features:
+        tags = bytearray()
+        for k, v in (f.get("properties") or {}).items():
+            ki = key_idx.get(k)
+            if ki is None:
+                ki = len(keys)
+                key_idx[k] = ki
+                keys.append(k)
+            vb = _encode_value(v)
+            vi = value_idx.get(vb)
+            if vi is None:
+                vi = len(values)
+                value_idx[vb] = vi
+                values.append(vb)
+            tags += _encode_varint_single(ki) + _encode_varint_single(vi)
+
+        geom = bytearray()
+        cx = cy = 0
+        gtype = f["geom_type"]
+        for part in f["parts"]:
+            pts = part
+            closed = gtype == 3 and len(pts) > 1 and pts[0] == pts[-1]
+            if closed:
+                pts = pts[:-1]
+            geom += _encode_varint_single((1 << 3) | 1)  # MoveTo count=1
+            geom += _encode_varint_single(_zz(pts[0][0] - cx))
+            geom += _encode_varint_single(_zz(pts[0][1] - cy))
+            cx, cy = pts[0]
+            rest = pts[1:]
+            if rest:
+                geom += _encode_varint_single((len(rest) << 3) | 2)  # LineTo
+                for px, py in rest:
+                    geom += _encode_varint_single(_zz(px - cx))
+                    geom += _encode_varint_single(_zz(py - cy))
+                    cx, cy = px, py
+            if gtype == 3:
+                geom += _encode_varint_single(7)  # ClosePath
+
+        body = bytearray()
+        if f.get("id") is not None:
+            body += _key(1, 0) + _encode_varint_single(int(f["id"]))
+        if tags:
+            body += _ld(2, bytes(tags))
+        body += _key(3, 0) + _encode_varint_single(gtype)
+        body += _ld(4, bytes(geom))
+        feats += _ld(2, bytes(body))
+
+    layer = bytearray()
+    layer += _key(15, 0) + _encode_varint_single(2)  # version
+    layer += _ld(1, name.encode("utf-8"))
+    layer += bytes(feats)
+    for k in keys:
+        layer += _ld(3, k.encode("utf-8"))
+    for vb in values:
+        layer += _ld(4, vb)
+    layer += _key(5, 0) + _encode_varint_single(extent)
+    return _ld(3, bytes(layer))
+
+
+def encode_mvt(layers: list[tuple[str, list[dict], int]]) -> bytes:
+    """Full tile: [(name, features, extent), ...] -> MVT bytes."""
+    return b"".join(encode_mvt_layer(n, f, e) for n, f, e in layers)
