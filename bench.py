@@ -1,0 +1,105 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries": {name:
+sec}, "sf", plus informational extras (tiles/sec, per-zoom compression
+vs the MVT baseline)}.
+
+Scaling evidence (local[8] vs local[32]) is produced separately by
+scripts/scaling_bench.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry
+    from cov_tiles_spark.session import get_spark
+
+    spark = get_spark(app_name="cov-tiles-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = [
+        "q_tile_encode",
+        "q_tile_assignment",
+        "q_pip",
+        "q_knn",
+        "q_pricing_summary",
+        "q_local_supplier_volume",
+        "q_minhash_dedup",
+        "q_cosine_topk",
+        "q_hilbert_cells",
+    ]
+    qmap = entry.queries()
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    for name in headline:
+        t0 = time.time()
+        df = qmap[name](spark, sf_dir)
+        n = df.count()  # force full execution
+        timings[name] = round(time.time() - t0, 3)
+        extras[f"{name}_rows"] = n
+
+    # flagship detail: tiles/sec + compression ratio per zoom
+    t0 = time.time()
+    tiles_df = qmap["q_tile_encode"](spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    from cov_tiles_spark.pipeline.materialize import materialize_tiles
+
+    # rebuild with the MVT baseline for the ratio numbers
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    imgs = e.select(
+        F.concat(F.lit("img-"), F.lpad(F.col("event_id").cast("string"), 12, "0")).alias("image_id"),
+        F.col("event_type").alias("caption"),
+        F.lit("raw").alias("fmt"),
+        F.lit(32).alias("w"),
+        F.lit(32).alias("h"),
+        F.xxhash64("event_id").alias("phash"),
+        (((F.col("event_id") * 9973) % 3600) / 10.0 - 180.0 + 0.05).alias("lon"),
+        (((F.col("event_id") * 7919) % 1600) / 10.0 - 80.0 + 0.05).alias("lat"),
+    )
+    stats = (
+        materialize_tiles(imgs, [2, 4, 6], with_mvt_baseline=True)
+        .groupBy("z")
+        .agg(
+            F.count("*").alias("tiles"),
+            F.sum("payload_bytes").alias("covt"),
+            F.sum("mvt_bytes").alias("mvt"),
+        )
+        .collect()
+    )
+    encode_sec = time.time() - t0
+    total_tiles = sum(r.tiles for r in stats)
+    extras["tiles_per_sec"] = round(total_tiles / encode_sec, 2)
+    for r in sorted(stats, key=lambda r: r.z):
+        extras[f"z{r.z}_reduction_pct"] = round((1 - r.covt / r.mvt) * 100, 1)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite-total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                "extras": extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -70,13 +70,22 @@ class PropertyInput:
     present: np.ndarray | None = None
 
 
+def _varint(v: int) -> bytes:
+    """Scalar varint — hot in metadata serialization, so no numpy detour."""
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
 def _write_string(s: str) -> bytes:
     raw = s.encode("utf-8")
-    return encode_varints(np.array([len(raw)], dtype=np.uint64)) + raw
-
-
-def _varint(v: int) -> bytes:
-    return encode_varints(np.array([v], dtype=np.uint64))
+    return _varint(len(raw)) + raw
 
 
 def _stream_meta(name: str, num_values: int, byte_length: int) -> bytes:
@@ -286,16 +295,13 @@ def encode_property_column(
     elif prop.data_type == ColumnDataType.STRING:
         vals = np.asarray(prop.values, dtype=object)
         sparse = vals if len(vals) == n_present else vals[present]
-        # first-occurrence dictionary (CovtConverter.java:1294-1324)
-        seen: dict[str, int] = {}
-        idx = np.empty(len(sparse), dtype=np.int64)
-        for i, s in enumerate(sparse):
-            j = seen.get(s)
-            if j is None:
-                j = len(seen)
-                seen[s] = j
-            idx[i] = j
-        dict_raw = [s.encode("utf-8") for s in seen]
+        # first-occurrence dictionary (CovtConverter.java:1294-1324);
+        # pandas.factorize preserves first-occurrence order, vectorized
+        import pandas as _pd
+
+        codes, uniques = _pd.factorize(_pd.Series(sparse), use_na_sentinel=False)
+        idx = codes.astype(np.int64)
+        dict_raw = [s.encode("utf-8") for s in uniques]
         data_bytes = encode_int_rle(idx, signed=False)
         len_bytes = encode_int_rle(
             np.array([len(r) for r in dict_raw], dtype=np.int64), signed=False

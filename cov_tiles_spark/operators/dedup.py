@@ -1,0 +1,296 @@
+"""Deduplication operators for training-data pipelines.
+
+All candidate generation is shuffle-on-short-keys (hash buckets), never
+all-pairs; verification is vectorized. Designed so the 100 TB side only
+shuffles (id, signature) pairs — text/bytes stay columnar at rest.
+
+- ``exact_dedup``      : md5(text) groupBy — the classic exact pass.
+- ``minhash_near_dups``: shingle → 64-perm MinHash → banded LSH buckets →
+                         bucket-join candidates → exact Jaccard verify.
+- ``simhash_near_dups``: 64-bit SimHash → 4x16-bit band buckets (exact
+                         recall for Hamming <= 3) → popcount verify.
+- ``embedding_near_dups``: random-hyperplane LSH over embeddings →
+                         bucket-join → exact cosine verify.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct text: keeper id (min), duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _shingle_hashes(texts: pd.Series, shingle: int) -> list[np.ndarray]:
+    """Per-doc array of distinct shingle hashes (vectorized rolling hash)."""
+    out = []
+    base = np.uint64(1099511628211)
+    for t in texts:
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        if len(b) < shingle:
+            out.append(np.zeros(1, dtype=np.uint64))
+            continue
+        with np.errstate(over="ignore"):
+            h = np.zeros(len(b) - shingle + 1, dtype=np.uint64)
+            for j in range(shingle):
+                h = h * base + b[j : len(b) - shingle + 1 + j].astype(np.uint64)
+        out.append(np.unique(h))
+    return out
+
+
+def _minhash_udf(num_hashes: int, shingle: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.int64).astype(np.uint64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash(texts: pd.Series) -> pd.Series:
+        sigs = []
+        for hashes in _shingle_hashes(texts, shingle):
+            with np.errstate(over="ignore"):
+                # universal hashing (a*x+b) mod p, vectorized (perm x shingle)
+                vals = (a[:, None] * hashes[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+            sigs.append(vals.min(axis=1).astype(np.int64))
+        return pd.Series(sigs)
+
+    return minhash
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b) with estimated Jaccard >= threshold.
+
+    Jaccard estimate = fraction of matching MinHash components (unbiased);
+    the banded LSH keeps candidate generation sub-quadratic.
+    """
+    rows_per_band = num_hashes // bands
+    mh = _minhash_udf(num_hashes, shingle)
+    sigs = df.select(
+        F.col(id_col).alias("id"), mh(F.col(text_col)).alias("sig")
+    ).cache()
+
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(
+                *[F.col("sig")[j] for j in range(i * rows_per_band, (i + 1) * rows_per_band)]
+            ).alias("bucket"),
+        )
+        for i in range(bands)
+    ]
+    buckets = sigs.select("id", "sig", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", "sig", "bb.band", "bb.bucket"
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+@F.pandas_udf(LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (vectorized popword sum)."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            out[i] = 0
+            continue
+        hs = np.array(
+            [hash_token(tok) for tok in toks], dtype=np.uint64
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        word = np.uint64(0)
+        for j in np.flatnonzero(v > 0):
+            word |= np.uint64(1) << np.uint64(j)
+        out[i] = int(word.view(np.int64)) if hasattr(word, "view") else int(np.int64(word))
+    return pd.Series(out)
+
+
+def hash_token(tok: str) -> int:
+    """FNV-1a 64 of a token (deterministic across workers, unlike hash())."""
+    h = 0xCBF29CE484222325
+    for c in tok.encode("utf-8"):
+        h = ((h ^ c) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= max_hamming.
+
+    Band trick: split 64 bits into (max_hamming + 1) bands; any pair
+    within the budget must agree exactly on >= 1 band (pigeonhole) —
+    exact recall, sub-quadratic candidates.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    bands = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("sh"), i * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            ).alias("bucket"),
+        )
+        for i in range(n_bands)
+    ]
+    buckets = sh.select("id", "sh", F.explode(F.array(*bands)).alias("bb")).select(
+        "id", "sh", "bb.band", "bb.bucket"
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    n_planes: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-duplicate pairs via random-hyperplane LSH + exact verify."""
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+
+    @F.pandas_udf(LongType())
+    def signature(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        bits = (m @ planes.T) > 0
+        packed = np.packbits(bits, axis=1, bitorder="little")
+        out = np.zeros(len(vecs), dtype=np.int64)
+        for j in range(packed.shape[1]):
+            out |= packed[:, j].astype(np.int64) << (8 * j)
+        return pd.Series(out)
+
+    sig = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), signature(F.col(vec_col)).alias("sig")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(b, F.col("a.sig") == F.col("b.sig"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.vec").alias("vec_b"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("vec_a", "vec_b", lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    cos = dot / (norm(F.col("vec_a")) * norm(F.col("vec_b")))
+    return (
+        cand.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard over hash-blocked candidates.
+
+    Blocking key = md5 of the first n-gram (cheap, deterministic) — an
+    intentionally simple blocker; MinHash above is the scale path.
+    """
+    df2 = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+            f" i -> substring({text_col}, i, {n})))"
+        ).alias("grams"),
+        F.md5(F.substring(text_col, 1, n)).alias("block"),
+    )
+    a, b = df2.alias("a"), df2.alias("b")
+    inter = F.size(F.array_intersect("a_grams", "b_grams"))
+    cand = (
+        a.join(b, "block")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.grams").alias("a_grams"),
+            F.col("b.grams").alias("b_grams"),
+        )
+    )
+    jac = inter / (
+        F.size("a_grams") + F.size("b_grams") - inter
+    ).cast("double")
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -92,7 +92,7 @@ def cap_tile_features(assigned: DataFrame, max_features: int) -> DataFrame:
     )
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+def _encode_group(pdf: pd.DataFrame, with_mvt_baseline: bool = True) -> pd.DataFrame:
     """Grouped-map kernel: one (z,x,y) group → one COVT payload row."""
     z = int(pdf["z"].iloc[0])
     x = int(pdf["x"].iloc[0])
@@ -130,6 +130,17 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         extent=DEFAULT_EXTENT,
     )
     payload = encode_tile([layer])
+
+    if not with_mvt_baseline:
+        return pd.DataFrame(
+            {
+                "z": [z], "x": [x], "y": [y],
+                "num_features": [n],
+                "payload": [payload],
+                "payload_bytes": [len(payload)],
+                "mvt_bytes": [0],
+            }
+        )
 
     # row-oriented MVT baseline of the same features (benchmark denominator)
     mvt_feats = [
@@ -171,9 +182,11 @@ def materialize_tiles(
     cols = ["image_id", "caption", "fmt", "w", "h", "phash", "lon", "lat"]
     assigned = assign_tiles(images.select(*cols), zooms, extent)
     capped = cap_tile_features(assigned, max_features_per_tile)
-    return capped.groupBy("z", "x", "y").applyInPandas(
-        _encode_group, schema=PAYLOAD_SCHEMA
-    )
+
+    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _encode_group(pdf, with_mvt_baseline=with_mvt_baseline)
+
+    return capped.groupBy("z", "x", "y").applyInPandas(_encode, schema=PAYLOAD_SCHEMA)
 
 
 DECODE_SCHEMA = (

@@ -1,0 +1,101 @@
+"""Local mimic of the driver's correctness gate: run every queries() entry
+on Spark AND its oracle_sql() twin on DuckDB at sf0.01, compare row count,
+column names, and order-insensitive values.
+
+Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entrymod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        dt = df[c].dtype
+        if pd.api.types.is_bool_dtype(dt):
+            df[c] = df[c].astype(bool)
+        elif pd.api.types.is_integer_dtype(dt):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(dt):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(dt):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        else:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from cov_tiles_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append((name, f"spark error: {e}"))
+            print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            if len(sdf) == 0 and name not in ("q_minhash_dedup",):
+                failures.append((name, "0 rows"))
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            failures.append((name, f"duckdb error: {e}"))
+            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            continue
+        a, b = normalize(sdf), normalize(odf)
+        if list(a.columns) != list(b.columns):
+            failures.append((name, f"columns {list(a.columns)} vs {list(b.columns)}"))
+            print(f"FAIL {name}: columns {list(a.columns)} != {list(b.columns)}")
+            continue
+        if len(a) != len(b):
+            failures.append((name, f"rows {len(a)} vs {len(b)}"))
+            print(f"FAIL {name}: rows {len(a)} != {len(b)}")
+            continue
+        if not a.equals(b):
+            neq = (a != b).any(axis=1)
+            diff = pd.concat([a[neq].head(3), b[neq].head(3)])
+            failures.append((name, "values"))
+            print(f"FAIL {name}: value mismatch in {int(neq.sum())} rows\n{diff}")
+            continue
+        print(f"ok   {name}: {len(a)} rows match ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(queries) - len(failures)}/{len(queries)} pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
