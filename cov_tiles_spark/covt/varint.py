@@ -23,6 +23,18 @@ def encode_varints(values: np.ndarray) -> bytes:
     n = v.shape[0]
     if n == 0:
         return b""
+    if n <= 16:  # tiny-stream fast path: vectorized setup dominates below this
+        out = bytearray()
+        for x in v.tolist():
+            while True:
+                b = x & 0x7F
+                x >>= 7
+                if x:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    break
+        return bytes(out)
     groups = (v[:, None] >> _SHIFTS[None, :]) & _MASK7  # (n, 10)
     nonzero = groups != 0
     any_nz = nonzero.any(axis=1)

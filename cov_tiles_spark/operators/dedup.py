@@ -60,13 +60,20 @@ def _minhash_udf(num_hashes: int, shingle: int, seed: int = 42):
 
     @F.pandas_udf(ArrayType(LongType()))
     def minhash(texts: pd.Series) -> pd.Series:
-        sigs = []
-        for hashes in _shingle_hashes(texts, shingle):
-            with np.errstate(over="ignore"):
-                # universal hashing (a*x+b) mod p, vectorized (perm x shingle)
-                vals = (a[:, None] * hashes[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-            sigs.append(vals.min(axis=1).astype(np.int64))
-        return pd.Series(sigs)
+        # whole-batch vectorization: concatenate all docs' shingle hashes,
+        # apply each permutation once, segment-min via minimum.reduceat
+        per_doc = _shingle_hashes(texts, shingle)
+        lengths = np.array([len(h) for h in per_doc], dtype=np.int64)
+        if len(per_doc) == 0:
+            return pd.Series([], dtype=object)
+        all_h = np.concatenate(per_doc)
+        starts = np.cumsum(lengths) - lengths
+        sig = np.empty((len(per_doc), num_hashes), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for p in range(num_hashes):
+                vals = (a[p] * all_h + b[p]) % np.uint64(_MERSENNE)
+                sig[:, p] = np.minimum.reduceat(vals, starts).astype(np.int64)
+        return pd.Series(list(sig))
 
     return minhash
 
@@ -130,22 +137,32 @@ def minhash_near_dups(
 
 @F.pandas_udf(LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (vectorized popword sum)."""
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = t.split()
-        if not toks:
-            out[i] = 0
-            continue
-        hs = np.array(
-            [hash_token(tok) for tok in toks], dtype=np.uint64
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-        v = (2 * bits - 1).sum(axis=0)
-        word = np.uint64(0)
-        for j in np.flatnonzero(v > 0):
-            word |= np.uint64(1) << np.uint64(j)
-        out[i] = int(word.view(np.int64)) if hasattr(word, "view") else int(np.int64(word))
+    """64-bit SimHash over whitespace tokens.
+
+    Whole-batch vectorization: tokens across all docs are factorized so
+    each *unique* token is FNV-hashed once; per-doc bit sums are a
+    single ``add.reduceat`` over the expanded bit matrix.
+    """
+    tok_lists = [t.split() for t in texts]
+    lengths = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
+    out = np.zeros(len(texts), dtype=np.int64)
+    nonempty = lengths > 0
+    if not nonempty.any():
+        return pd.Series(out)
+    flat = [tok for ts in tok_lists for tok in ts]
+    codes, uniques = pd.factorize(pd.Series(flat, dtype=object))
+    uh = np.array([hash_token(t) for t in uniques], dtype=np.uint64)
+    bits_u = (
+        (uh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    ).astype(np.int64) * 2 - 1  # (+1/-1) per unique token per bit
+    tok_bits = bits_u[codes]  # (total_tokens, 64)
+    starts = (np.cumsum(lengths) - lengths)[nonempty]
+    sums = np.add.reduceat(tok_bits, starts, axis=0)  # (n_nonempty, 64)
+    words = np.zeros(sums.shape[0], dtype=np.uint64)
+    pos = sums > 0
+    for j in range(64):
+        words |= pos[:, j].astype(np.uint64) << np.uint64(j)
+    out[nonempty] = words.view(np.int64)
     return pd.Series(out)
 
 
@@ -169,13 +186,14 @@ def simhash_near_dups(
     n_bands = max_hamming + 1
     width = 64 // n_bands
     sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    def band_val(i):
+        v = F.shiftrightunsigned(F.col("sh"), i * width)
+        if width < 64:  # width=64 needs no mask (and 2^64-1 overflows lit)
+            v = v.bitwiseAND(F.lit((1 << width) - 1))
+        return v
+
     bands = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.shiftrightunsigned(F.col("sh"), i * width).bitwiseAND(
-                F.lit((1 << width) - 1)
-            ).alias("bucket"),
-        )
+        F.struct(F.lit(i).alias("band"), band_val(i).alias("bucket"))
         for i in range(n_bands)
     ]
     buckets = sh.select("id", "sh", F.explode(F.array(*bands)).alias("bb")).select(

@@ -1,0 +1,146 @@
+"""IcebergLite: checkpointed, resumable batch stages with per-partition
+lineage + metrics (SURVEY.md §7.0; north_rule "resumable from checkpoint
+with per-partition lineage + metrics").
+
+The sandbox has no Iceberg runtime jars, so this layer provides the
+Iceberg semantics we need on plain partitioned Parquet:
+
+- a **manifest table** (`_manifests/` parquet) with one row per committed
+  partition: (table, snapshot_id, partition_key, n_rows, n_bytes,
+  checksum, committed_at_ns)
+- **idempotent stage execution**: ``run_stage`` skips partitions whose
+  manifest rows already exist (resume after failure re-does only missing
+  partitions)
+- **snapshot isolation (lite)**: data lands under
+  ``table/partition_key=.../snapshot_id=.../part-*.parquet``; readers go
+  through the manifest, so half-written partitions are invisible
+
+Swap-in path for real Iceberg: the public API (``commit_partitions``,
+``committed_keys``, ``read_table``) maps 1:1 onto Iceberg's snapshot +
+manifest model via ``spark.jars.packages=org.apache.iceberg:...`` when a
+catalog is available; nothing else in the engine would change.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = (
+    "table string, snapshot_id string, partition_key string, n_rows long, "
+    "n_bytes long, checksum long, committed_at_ns long, stage string"
+)
+
+
+class IcebergLite:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._manifest_dir = f"{self.root}/_manifests"
+
+    # ---------------- manifest ----------------
+
+    def manifests(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self._manifest_dir)
+        except Exception:
+            return self.spark.createDataFrame([], MANIFEST_SCHEMA)
+
+    def committed_keys(self, table: str, stage: str) -> set[str]:
+        df = self.manifests().filter(
+            (F.col("table") == table) & (F.col("stage") == stage)
+        )
+        return {r.partition_key for r in df.select("partition_key").distinct().collect()}
+
+    # ---------------- write path ----------------
+
+    def commit_partitions(
+        self,
+        table: str,
+        stage: str,
+        df: DataFrame,
+        partition_col: str,
+    ) -> DataFrame:
+        """Write ``df`` partitioned by ``partition_col``, skipping already-
+        committed partitions; append manifest rows with row/byte metrics
+        and a value checksum. Returns the manifest rows written."""
+        done = self.committed_keys(table, stage)
+        if done:
+            df = df.filter(~F.col(partition_col).cast("string").isin(list(done)))
+
+        snapshot_id = uuid.uuid4().hex[:16]
+        data_dir = f"{self.root}/{table}/snapshot_id={snapshot_id}"
+        pending = df.cache()
+        # per-partition metrics + checksum (xxhash64 of every cell, xor-agg)
+        cols = [c for c in pending.columns]
+        row_hash = F.xxhash64(*cols)
+        metrics = (
+            pending.groupBy(F.col(partition_col).cast("string").alias("partition_key"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.length(F.to_json(F.struct(*cols)))).alias("n_bytes"),
+                # xor-fold: order-insensitive and immune to ANSI overflow
+                F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("checksum"),
+            )
+        )
+        if metrics.isEmpty():
+            pending.unpersist()
+            return self.spark.createDataFrame([], MANIFEST_SCHEMA)
+
+        pending.write.partitionBy(partition_col).mode("append").parquet(data_dir)
+
+        manifest = metrics.select(
+            F.lit(table).alias("table"),
+            F.lit(snapshot_id).alias("snapshot_id"),
+            "partition_key",
+            "n_rows",
+            "n_bytes",
+            "checksum",
+            F.lit(time.time_ns()).alias("committed_at_ns"),
+            F.lit(stage).alias("stage"),
+        )
+        manifest.write.mode("append").parquet(self._manifest_dir)
+        pending.unpersist()
+        return manifest
+
+    # ---------------- read path ----------------
+
+    def read_table(self, table: str) -> DataFrame:
+        """Read every committed snapshot of a table (manifest-gated)."""
+        base = f"{self.root}/{table}"
+        snaps = [
+            d for d in os.listdir(base) if d.startswith("snapshot_id=")
+        ] if os.path.isdir(base) else []
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots for table {table}")
+        committed = {
+            r.snapshot_id
+            for r in self.manifests().select("snapshot_id").distinct().collect()
+        }
+        paths = [
+            f"{base}/{d}" for d in snaps if d.split("=", 1)[1] in committed
+        ]
+        return (
+            self.spark.read.option("basePath", base).parquet(*paths)
+            .drop("snapshot_id")
+        )
+
+
+def run_stage(
+    lake: IcebergLite,
+    table: str,
+    stage: str,
+    build: "callable[[set[str]], DataFrame]",
+    partition_col: str,
+) -> DataFrame:
+    """Idempotent stage: ``build(done_keys)`` produces the stage output
+    (it may prune already-done work early); only not-yet-committed
+    partitions are written. Returns new manifest rows (empty on full
+    resume)."""
+    done = lake.committed_keys(table, stage)
+    df = build(done)
+    return lake.commit_partitions(table, stage, df, partition_col)

@@ -1,0 +1,225 @@
+"""Distributed MVT → COVT tile transcoding — the reference's main program
+(`CovtConverterTest.runOmtTest` / `BingCovtDemo`, SURVEY.md §3.1/§3.3)
+re-expressed as a Spark job:
+
+    spark.read.format("binaryFile").load("*.mvt")      # S2 scan
+      -> mapInPandas(decode MVT, shred, encode COVT)   # §3.1 steps 1-2
+      -> (path, z, x, y, covt payload, sizes, verified)
+
+Each input tile is independent, so the job is embarrassingly parallel;
+``binaryFile`` gives Catalyst-managed file splitting and predicate
+pushdown on (path, length). Per-tile verification (decode our COVT and
+compare feature-for-feature with the MVT decode — the reference's
+round-trip oracle, `BingCovtDemo.java:194-222`) runs inline and is
+reported as a boolean column, so a 100 TB transcode is self-auditing.
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import os
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from cov_tiles_spark.covt.decoder import GeometryColumn, decode_covt
+from cov_tiles_spark.covt.encoder import LayerInput, PropertyInput, encode_tile
+from cov_tiles_spark.covt.metadata import ColumnDataType, GeometryType
+from cov_tiles_spark.covt.mvt import MvtLayer, decode_mvt
+
+TRANSCODE_SCHEMA = (
+    "path string, z int, x int, y int, mvt_bytes long, covt_bytes long, "
+    "gzip_mvt_bytes long, gzip_covt_bytes long, n_layers int, "
+    "n_features long, verified boolean, payload binary"
+)
+
+_ZXY_RE = re.compile(r"(\d+)[_\-/](\d+)[_\-/](\d+)\.(mvt|pbf)$")
+
+
+def _geometry_from_mvt(features) -> GeometryColumn:
+    """Shred MVT feature geometries into the COVT SoA model (P2)."""
+    types = []
+    geometry_offsets = []
+    part_offsets = []
+    ring_offsets = []
+    verts: list[np.ndarray] = []
+    for f in features:
+        parts = f.geometry
+        if f.geom_type == 1:  # point(s)
+            if len(parts) == 1 and len(parts[0]) == 1:
+                types.append(GeometryType.POINT)
+                verts.append(np.asarray(parts[0], dtype=np.int64))
+            else:  # multipoint: one 1-pt line per point (loadGeometry form)
+                types.append(GeometryType.MULTI_POINT)
+                geometry_offsets.append(sum(len(p) for p in parts))
+                for p in parts:
+                    verts.append(np.asarray(p, dtype=np.int64))
+        elif f.geom_type == 2:
+            if len(parts) == 1:
+                types.append(GeometryType.LINESTRING)
+                part_offsets.append(len(parts[0]))
+                verts.append(np.asarray(parts[0], dtype=np.int64))
+            else:
+                types.append(GeometryType.MULTI_LINESTRING)
+                geometry_offsets.append(len(parts))
+                for p in parts:
+                    part_offsets.append(len(p))
+                    verts.append(np.asarray(p, dtype=np.int64))
+        else:  # polygon: rings arrive closed; store open (reference rule)
+            open_rings = [p[:-1] if len(p) > 1 and p[0] == p[-1] else p for p in parts]
+            types.append(GeometryType.POLYGON)
+            part_offsets.append(len(open_rings))
+            for r in open_rings:
+                ring_offsets.append(len(r))
+                verts.append(np.asarray(r, dtype=np.int64))
+    vb = (
+        np.concatenate(verts).astype(np.int32).ravel()
+        if verts
+        else np.empty(0, np.int32)
+    )
+    return GeometryColumn(
+        geometry_types=np.asarray(types, np.uint8),
+        vertex_buffer=vb,
+        geometry_offsets=np.asarray(geometry_offsets, np.int64) if geometry_offsets else None,
+        part_offsets=np.asarray(part_offsets, np.int64) if part_offsets else None,
+        ring_offsets=np.asarray(ring_offsets, np.int64) if ring_offsets else None,
+    )
+
+
+def _properties_from_mvt(features) -> dict[str, PropertyInput]:
+    """Dynamic schema inference from property maps, typed from the first
+    seen value (CovtConverter.java:485-547)."""
+    n = len(features)
+    keys: dict[str, type] = {}
+    for f in features:
+        for k, v in f.properties.items():
+            if k not in keys and v is not None:
+                keys[k] = type(v)
+    props: dict[str, PropertyInput] = {}
+    for k, t in keys.items():
+        present = np.zeros(n, dtype=bool)
+        vals = []
+        for i, f in enumerate(features):
+            v = f.properties.get(k)
+            if v is None:
+                continue
+            present[i] = True
+            vals.append(v)
+        if t is bool:
+            dense = np.zeros(n, dtype=bool)
+            dense[present] = np.asarray(vals, dtype=bool)
+            props[k] = PropertyInput(ColumnDataType.BOOLEAN, dense, present)
+        elif t is int:
+            props[k] = PropertyInput(
+                ColumnDataType.INT_64, np.asarray(vals, dtype=np.int64), present
+            )
+        elif t is float:
+            props[k] = PropertyInput(
+                ColumnDataType.FLOAT, np.asarray(vals, dtype=np.float32), present
+            )
+        else:
+            props[k] = PropertyInput(
+                ColumnDataType.STRING, np.asarray([str(v) for v in vals], object), present
+            )
+    return props
+
+
+def mvt_to_covt(mvt_bytes: bytes, allow_ice: bool = True) -> tuple[bytes, int, int]:
+    """One tile: MVT bytes -> (COVT bytes, n_layers, n_features)."""
+    layers = decode_mvt(mvt_bytes)
+    inputs = []
+    n_features = 0
+    for lay in layers:
+        if not lay.features:
+            continue
+        ids = (
+            np.asarray([f.id for f in lay.features], dtype=np.int64)
+            if all(f.id is not None for f in lay.features)
+            else None
+        )
+        inputs.append(
+            LayerInput(
+                name=lay.name,
+                geometry=_geometry_from_mvt(lay.features),
+                ids=ids,
+                properties=_properties_from_mvt(lay.features),
+                extent=lay.extent,
+            )
+        )
+        n_features += len(lay.features)
+    return encode_tile(inputs, allow_ice=allow_ice), len(inputs), n_features
+
+
+def verify_roundtrip(covt_bytes: bytes, mvt_layers: list[MvtLayer]) -> bool:
+    """Reference round-trip oracle: our decode of our COVT must reproduce
+    the MVT decode feature-for-feature (geometry exact, properties equal
+    for non-null values)."""
+    try:
+        decoded = decode_covt(covt_bytes)
+    except Exception:
+        return False
+    mvt_map = {l.name: l for l in mvt_layers if l.features}
+    if set(decoded) != set(mvt_map):
+        return False
+    for name, lay in decoded.items():
+        feats = lay.features()
+        src = mvt_map[name].features
+        if len(feats) != len(src):
+            return False
+        for a, b in zip(feats, src):
+            if a["geometry"] != b.geometry:
+                return False
+            for k, v in b.properties.items():
+                if v is None:
+                    continue
+                got = a["properties"].get(k)
+                if isinstance(v, float):
+                    if got is None or abs(float(got) - v) > 1e-6 * max(1.0, abs(v)):
+                        return False
+                elif got != v:
+                    return False
+    return True
+
+
+def _transcode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for _, row in pdf.iterrows():
+            raw = bytes(row["content"])
+            if raw[:2] == b"\x1f\x8b":  # gzip source (S3)
+                raw = _gzip.decompress(raw)
+            m = _ZXY_RE.search(row["path"])
+            z, x, y = (int(m.group(i)) for i in (1, 2, 3)) if m else (-1, -1, -1)
+            covt, n_layers, n_features = mvt_to_covt(raw)
+            ok = verify_roundtrip(covt, decode_mvt(raw))
+            rows.append(
+                {
+                    "path": os.path.basename(row["path"]),
+                    "z": z, "x": x, "y": y,
+                    "mvt_bytes": len(raw),
+                    "covt_bytes": len(covt),
+                    "gzip_mvt_bytes": len(_gzip.compress(raw, 6)),
+                    "gzip_covt_bytes": len(_gzip.compress(covt, 6)),
+                    "n_layers": n_layers,
+                    "n_features": n_features,
+                    "verified": ok,
+                    "payload": covt,
+                }
+            )
+        yield pd.DataFrame(rows) if rows else pd.DataFrame(
+            columns=[c.split()[0] for c in TRANSCODE_SCHEMA.split(", ")]
+        )
+
+
+def transcode_mvt_directory(spark: SparkSession, glob_path: str) -> DataFrame:
+    """Transcode every .mvt/.pbf under ``glob_path`` to COVT, verified."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{mvt,pbf}")
+        .load(glob_path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_transcode_batches, schema=TRANSCODE_SCHEMA)

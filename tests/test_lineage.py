@@ -1,0 +1,72 @@
+"""IcebergLite checkpoint/resume semantics (SURVEY §4.2 / north_rule)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cov_tiles_spark.pipeline.lineage import IcebergLite, run_stage
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return IcebergLite(spark, str(tmp_path / "lake"))
+
+
+def test_commit_and_read(spark, lake):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("bucket")
+    )
+    manifest = lake.commit_partitions("t1", "s1", df, "bucket")
+    rows = manifest.collect()
+    assert len(rows) == 4
+    assert sum(r.n_rows for r in rows) == 100
+    assert all(r.checksum is not None for r in rows)
+
+    back = lake.read_table("t1")
+    assert back.count() == 100
+    assert set(back.columns) == {"id", "bucket"}
+
+
+def test_idempotent_resume(spark, lake):
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("bucket")
+    )
+    first = lake.commit_partitions("t2", "s1", df, "bucket")
+    assert first.count() == 4
+
+    # re-running commits nothing new (all partitions already in manifest)
+    second = lake.commit_partitions("t2", "s1", df, "bucket")
+    assert second.count() == 0
+    assert lake.read_table("t2").count() == 40  # no duplicates
+
+    # partial resume: pretend bucket 3 was never committed
+    done = lake.committed_keys("t2", "s1")
+    assert done == {"0", "1", "2", "3"}
+
+
+def test_run_stage_prunes_done_work(spark, lake):
+    calls = []
+
+    def build(done: set[str]):
+        calls.append(done)
+        return spark.range(20).select(
+            F.col("id"), (F.col("id") % 2).cast("string").alias("bucket")
+        )
+
+    m1 = run_stage(lake, "t3", "encode", build, "bucket")
+    assert m1.count() == 2 and calls[0] == set()
+    m2 = run_stage(lake, "t3", "encode", build, "bucket")
+    assert m2.count() == 0 and calls[1] == {"0", "1"}
+
+
+def test_metrics_and_lineage_fields(spark, lake):
+    df = spark.range(10).select(
+        F.col("id"), F.lit("a").alias("bucket")
+    )
+    lake.commit_partitions("t4", "stage_x", df, "bucket")
+    m = lake.manifests().filter(F.col("table") == "t4").collect()[0]
+    assert m.stage == "stage_x"
+    assert m.n_rows == 10
+    assert m.n_bytes > 0
+    assert m.committed_at_ns > 0

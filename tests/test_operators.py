@@ -1,0 +1,157 @@
+"""Training-data operator correctness (dedup / similarity / text) against
+planted ground truth and numpy brute-force oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cov_tiles_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from cov_tiles_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from cov_tiles_spark.operators.text import STOPWORDS, fingerprint64, lang_id
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def _planted(df, id_col):
+    clone = df.select((F.col(id_col) + 1_000_000).alias(id_col), *[
+        c for c in df.columns if c != id_col
+    ])
+    return df.select(*clone.columns).unionAll(clone)
+
+
+def test_exact_dedup_finds_planted(spark, docs):
+    corpus = _planted(docs.select("doc_id", "text"), "doc_id")
+    found = exact_dedup(corpus, "text", "doc_id").collect()
+    # every original text now has >= 2 copies
+    n_distinct = docs.select("text").distinct().count()
+    assert len(found) == n_distinct
+    assert all(r.n_copies >= 2 for r in found)
+
+
+def test_minhash_finds_planted_pairs(spark, docs):
+    corpus = _planted(docs.select("doc_id", "text"), "doc_id")
+    pairs = minhash_near_dups(corpus, "text", "doc_id", threshold=0.95).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    missing = [(i, i + 1_000_000) for i in ids if (i, i + 1_000_000) not in got]
+    assert not missing, f"planted exact copies not found: {missing[:5]}"
+    # exact copies must carry estimate 1.0
+    for r in pairs:
+        if r.id_b == r.id_a + 1_000_000:
+            assert r.jaccard_est == pytest.approx(1.0)
+
+
+def test_simhash_finds_planted_pairs(spark, docs):
+    corpus = _planted(docs.select("doc_id", "text"), "doc_id")
+    pairs = simhash_near_dups(corpus, "text", "doc_id", max_hamming=0).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    assert all((i, i + 1_000_000) in got for i in ids)
+    assert all(r.hamming == 0 for r in pairs if r.id_b == r.id_a + 1_000_000)
+
+
+def test_ngram_jaccard_finds_planted(spark, docs):
+    corpus = _planted(docs.select("doc_id", "text"), "doc_id")
+    pairs = ngram_jaccard_pairs(corpus, "text", "doc_id", threshold=0.999).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    assert all((i, i + 1_000_000) in got for i in ids)
+
+
+def test_embedding_near_dups_finds_planted(spark, embs):
+    corpus = _planted(embs.select("vec_id", "embedding"), "vec_id")
+    pairs = embedding_near_dups(
+        corpus, "embedding", "vec_id", dim=64, threshold=0.9999
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    ids = [r.vec_id for r in embs.select("vec_id").collect()]
+    assert all((i, i + 1_000_000) in got for i in ids)
+
+
+def test_cosine_topk_matches_numpy(spark, embs):
+    rows = embs.collect()
+    mat = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+    q = mat[ids.tolist().index(0)]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))[:10]
+    expected = [int(ids[i]) for i in order]
+
+    got = cosine_topk(embs, "embedding", "vec_id", q.tolist(), 10).collect()
+    assert [r.id for r in sorted(got, key=lambda r: r.rank)] == expected
+
+
+def test_ann_lsh_recall_on_clustered_data(spark):
+    """ANN recall on data with real neighbor structure (the testdata
+    embeddings are near-uniform random, where hyperplane LSH — like any
+    ANN index — cannot beat sampling; planted clusters are the honest
+    recall benchmark)."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(20, 64))
+    vecs = []
+    for i in range(400):
+        c = centers[i % 20]
+        vecs.append((i, (c + rng.normal(0, 0.05, 64)).astype(float).tolist()))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    q = vecs[0][1]
+    mat = np.array([v for _, v in vecs])
+    sims = mat @ np.array(q) / (
+        np.linalg.norm(mat, axis=1) * np.linalg.norm(q)
+    )
+    exact = {int(i) for i, _ in sorted(
+        zip([i for i, _ in vecs], -sims), key=lambda t: (t[1], t[0])
+    )[:10]}
+
+    got = ann_lsh_topk(
+        df, "embedding", "vec_id", q, 10, dim=64, n_planes=10, n_probes=12
+    ).collect()
+    recall = len({r.id for r in got} & exact) / 10
+    assert recall >= 0.8, f"ANN recall too low on clustered data: {recall}"
+    assert 0 in {r.id for r in got}  # the query vector itself is found
+
+
+def test_lang_id_on_planted_sentences(spark):
+    """The testdata documents are English-ish word soup for every lang
+    label, so accuracy-vs-label is meaningless there; plant real
+    sentences per language instead."""
+    samples = [
+        (0, "the cat and the dog of the house is big", "en"),
+        (1, "der hund und die katze ist das beste tier", "de"),
+        (2, "le chat et la maison les arbres des fleurs", "fr"),
+        (3, "el perro y la casa es los gatos", "es"),
+        (4, "xyzzy qwerty plugh", "und"),
+    ]
+    df = spark.createDataFrame(samples, "doc_id long, text string, expected string")
+    got = df.select("expected", lang_id(F.col("text")).alias("pred")).collect()
+    for r in got:
+        assert r.pred == r.expected, (r.expected, r.pred)
+
+
+def test_fingerprint_deterministic_and_distinct(spark, docs):
+    a = {r.doc_id: r.fp for r in docs.select(
+        "doc_id", fingerprint64(F.col("text")).alias("fp")).collect()}
+    b = {r.doc_id: r.fp for r in docs.select(
+        "doc_id", fingerprint64(F.col("text")).alias("fp")).collect()}
+    assert a == b
+    texts = docs.select("doc_id", "text").collect()
+    n_unique_texts = len({r.text for r in texts})
+    assert len(set(a.values())) == n_unique_texts
