@@ -78,21 +78,41 @@ def _minhash_udf(num_hashes: int, shingle: int, seed: int = 42):
     return minhash
 
 
+def _band_shape(num_hashes: int, threshold: float) -> tuple[int, int]:
+    """Pick (bands, rows) so the LSH S-curve knee sits near ``threshold``:
+    match probability = 1 - (1 - t^rows)^bands. Wider rows at high
+    thresholds slash false candidates (t=0.4 noise passes a 4-row band
+    with p=2.6% but an 8-row band with p=0.07%)."""
+    if threshold >= 0.85:
+        rows = 8
+    elif threshold >= 0.55:
+        rows = 4
+    else:
+        rows = 2
+    return num_hashes // rows, rows
+
+
 def minhash_near_dups(
     df: DataFrame,
     text_col: str,
     id_col: str,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     shingle: int = 5,
     threshold: float = 0.7,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with estimated Jaccard >= threshold.
 
     Jaccard estimate = fraction of matching MinHash components (unbiased);
-    the banded LSH keeps candidate generation sub-quadratic.
+    the banded LSH keeps candidate generation sub-quadratic. Candidates
+    travel as id pairs only (the 64-long signatures rejoin once after
+    pair dedup — shuffling them through the band join multiplies shuffle
+    bytes by bands x sig size).
     """
-    rows_per_band = num_hashes // bands
+    if bands is None:
+        bands, rows_per_band = _band_shape(num_hashes, threshold)
+    else:
+        rows_per_band = num_hashes // bands
     mh = _minhash_udf(num_hashes, shingle)
     sigs = df.select(
         F.col(id_col).alias("id"), mh(F.col(text_col)).alias("sig")
@@ -107,21 +127,20 @@ def minhash_near_dups(
         )
         for i in range(bands)
     ]
-    buckets = sigs.select("id", "sig", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "id", "sig", "bb.band", "bb.bucket"
+    buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", "bb.band", "bb.bucket"
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = (
+        cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
