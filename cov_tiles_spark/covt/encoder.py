@@ -334,6 +334,68 @@ class LayerInput:
     ids: np.ndarray | None = None
     properties: dict[str, PropertyInput] | None = None
     extent: int = 4096
+    # localized string-column groups sharing one dictionary
+    # (README.md:153-157): {base_column: {property_name: PropertyInput}},
+    # property_name is ``base`` or ``base:locale``
+    localized: dict[str, dict[str, PropertyInput]] | None = None
+
+
+def encode_localized_column(
+    base: str, group: dict[str, PropertyInput], n_features: int
+) -> tuple[bytes, bytes]:
+    """LOCALIZED_DICTIONARY column: per-locale (present, data) stream
+    pairs + one shared first-occurrence dictionary (decode twin:
+    covtDecoder.ts:375-421; the gen-B encoder itself throws 'not
+    supported', CovtConverter.java:358-360 — we implement it).
+
+    Physical layout: all pair streams in metadata order, then the length
+    stream, then the dictionary slab; present streams get unique metadata
+    names (``present_<locale>``) since stream names key a map, while the
+    decoder pairs streams by order.
+    """
+    seen: dict[str, int] = {}
+    pair_streams: list[tuple[str, int, bytes]] = []
+    for prop_name, prop in group.items():
+        locale = prop_name.split(":", 1)[1] if ":" in prop_name else base
+        present = (
+            prop.present.astype(bool)
+            if prop.present is not None
+            else np.ones(n_features, dtype=bool)
+        )
+        n_present = int(present.sum())
+        vals = np.asarray(prop.values, dtype=object)
+        sparse = vals if len(vals) == n_present else vals[present]
+        idx = np.empty(len(sparse), dtype=np.int64)
+        for i, s in enumerate(sparse):
+            j = seen.get(s)
+            if j is None:
+                j = len(seen)
+                seen[s] = j
+            idx[i] = j
+        present_bytes = encode_byte_rle(pack_bitset(present, n_features))
+        data_bytes = encode_int_rle(idx, signed=False)
+        stream_name = base if prop_name == base else locale
+        pair_streams.append((f"present_{stream_name}", n_features, present_bytes))
+        pair_streams.append((stream_name, n_present, data_bytes))
+
+    dict_raw = [s.encode("utf-8") for s in seen]
+    len_bytes = encode_int_rle(
+        np.array([len(r) for r in dict_raw], dtype=np.int64), signed=False
+    )
+    dict_bytes = b"".join(dict_raw)
+    streams = [
+        *pair_streams,
+        (LENGTH_STREAM, len(dict_raw), len_bytes),
+        (DICTIONARY_STREAM, len(dict_raw), dict_bytes),
+    ]
+    meta = (
+        _write_string(base)
+        + bytes([ColumnDataType.STRING, ColumnEncoding.LOCALIZED_DICTIONARY])
+        + _varint(len(streams))
+        + b"".join(_stream_meta(nm, nv, len(b)) for nm, nv, b in streams)
+    )
+    data = b"".join(b for _, _, b in streams)
+    return meta, data
 
 
 def encode_layer(layer: LayerInput, allow_ice: bool = True) -> bytes:
@@ -362,6 +424,11 @@ def encode_layer(layer: LayerInput, allow_ice: bool = True) -> bytes:
         p_meta, p_data = encode_property_column(name, prop, n)
         col_metas.append(p_meta)
         col_datas.append(p_data)
+
+    for base, group in (layer.localized or {}).items():
+        l_meta, l_data = encode_localized_column(base, group, n)
+        col_metas.append(l_meta)
+        col_datas.append(l_data)
 
     header = (
         _write_string(layer.name)

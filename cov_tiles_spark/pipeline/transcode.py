@@ -89,17 +89,53 @@ def _geometry_from_mvt(features) -> GeometryColumn:
     )
 
 
-def _properties_from_mvt(features) -> dict[str, PropertyInput]:
+def _properties_from_mvt(
+    features,
+) -> tuple[dict[str, PropertyInput], dict[str, dict[str, PropertyInput]]]:
     """Dynamic schema inference from property maps, typed from the first
-    seen value (CovtConverter.java:485-547)."""
+    seen value (CovtConverter.java:485-547). String keys of the form
+    ``base:locale`` are grouped with their base into a localized-
+    dictionary column (README.md:153-157) — returns (plain, localized)."""
     n = len(features)
     keys: dict[str, type] = {}
     for f in features:
         for k, v in f.properties.items():
             if k not in keys and v is not None:
                 keys[k] = type(v)
+
+    # localized groups: every ':'-suffixed string key whose base exists
+    # as a string key (or has >= 2 locales) shares one dictionary
+    loc_bases: dict[str, list[str]] = {}
+    for k, t in keys.items():
+        if ":" in k and t is str:
+            loc_bases.setdefault(k.split(":", 1)[0], []).append(k)
+    localized_names: set[str] = set()
+    localized: dict[str, dict[str, PropertyInput]] = {}
+    for base, members in loc_bases.items():
+        group_keys = list(members)
+        if base in keys and keys[base] is str:
+            group_keys.insert(0, base)
+        if len(group_keys) < 2:
+            continue
+        localized[base] = {}
+        localized_names.update(group_keys)
+        for k in group_keys:
+            present = np.zeros(n, dtype=bool)
+            vals = []
+            for i, f in enumerate(features):
+                v = f.properties.get(k)
+                if v is None:
+                    continue
+                present[i] = True
+                vals.append(str(v))
+            localized[base][k] = PropertyInput(
+                ColumnDataType.STRING, np.asarray(vals, object), present
+            )
+
     props: dict[str, PropertyInput] = {}
     for k, t in keys.items():
+        if k in localized_names:
+            continue
         present = np.zeros(n, dtype=bool)
         vals = []
         for i, f in enumerate(features):
@@ -124,7 +160,7 @@ def _properties_from_mvt(features) -> dict[str, PropertyInput]:
             props[k] = PropertyInput(
                 ColumnDataType.STRING, np.asarray([str(v) for v in vals], object), present
             )
-    return props
+    return props, localized
 
 
 def mvt_to_covt(mvt_bytes: bytes, allow_ice: bool = True) -> tuple[bytes, int, int]:
@@ -140,12 +176,14 @@ def mvt_to_covt(mvt_bytes: bytes, allow_ice: bool = True) -> tuple[bytes, int, i
             if all(f.id is not None for f in lay.features)
             else None
         )
+        props, localized = _properties_from_mvt(lay.features)
         inputs.append(
             LayerInput(
                 name=lay.name,
                 geometry=_geometry_from_mvt(lay.features),
                 ids=ids,
-                properties=_properties_from_mvt(lay.features),
+                properties=props,
+                localized=localized or None,
                 extent=lay.extent,
             )
         )

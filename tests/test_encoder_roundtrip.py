@@ -223,13 +223,16 @@ def test_reencode_fixture(fixture):
     layers = []
     for name, lay in original.items():
         props = {}
+        localized: dict[str, dict[str, PropertyInput]] = {}
         for col_name, pc in lay.properties.items():
             if pc.localized:
+                group = {}
                 for pname, (present, data) in pc.localized.items():
                     vals = np.array(
                         [pc.dictionary[int(i)] for i in data], dtype=object
                     )
-                    props[pname] = PropertyInput(ColumnDataType.STRING, vals, present)
+                    group[pname] = PropertyInput(ColumnDataType.STRING, vals, present)
+                localized[col_name] = group
                 continue
             if pc.data_type == ColumnDataType.STRING:
                 vals = np.array([pc.dictionary[int(i)] for i in pc.data], dtype=object)
@@ -250,7 +253,10 @@ def test_reencode_fixture(fixture):
                 ring_offsets=geom.ring_offsets,
             )
         layers.append(
-            LayerInput(name=name, geometry=geom, ids=lay.ids, properties=props)
+            LayerInput(
+                name=name, geometry=geom, ids=lay.ids, properties=props,
+                localized=localized or None,
+            )
         )
 
     tile2 = encode_tile(layers)
@@ -265,6 +271,7 @@ def test_reencode_fixture(fixture):
             assert fa["geometry"] == fb["geometry"], f"{name}[{i}] geometry"
             assert fa["properties"] == fb["properties"], f"{name}[{i}] properties"
 
-    # compression sanity: our re-encode should be within 2x of the original
-    # gen-A tile (it lacks localized-dict sharing, so some growth is OK)
-    assert len(tile2) < 2 * path.stat().st_size
+    # compression parity: with localized dictionaries our re-encode
+    # matches or beats the reference encoder's own output size
+    # (measured 0.96-1.0x on omt tiles; allow 10% headroom for bing)
+    assert len(tile2) < 1.1 * path.stat().st_size
