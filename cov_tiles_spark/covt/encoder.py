@@ -203,11 +203,23 @@ def encode_geometry_column(
     n_vertices = len(geom.vertex_buffer) // 2
     plain_bytes = _encode_vertices_plain(geom)
 
-    line_kind_only = bool(
-        np.isin(types, [GeometryType.LINESTRING, GeometryType.MULTI_LINESTRING]).all()
+    # ICE eligibility: line and polygon kinds (the gen-A reference decoder
+    # does ICE for linestrings, covtDecoder.ts:205-222; the amazon fixture
+    # proves ICE polygons exist in the wild and our decoder reads both).
+    # Points stay plain: a 1-vertex chain gains nothing from a dictionary.
+    ice_kinds = bool(
+        np.isin(
+            types,
+            [
+                GeometryType.LINESTRING,
+                GeometryType.MULTI_LINESTRING,
+                GeometryType.POLYGON,
+                GeometryType.MULTI_POLYGON,
+            ],
+        ).all()
     )
     ice = None
-    if allow_ice and line_kind_only and extent in (4096, 8192):
+    if allow_ice and ice_kinds and extent in (4096, 8192):
         best = None
         for use_morton in (False, True):
             cand = _encode_vertices_ice(geom, extent, use_morton)
@@ -219,9 +231,10 @@ def encode_geometry_column(
     if ice is not None:
         offsets_bytes, dict_bytes, dict_size = ice
         encoding = ColumnEncoding.INDEXED_COORDINATE_ENCODING
-        streams = [
-            (GEOMETRY_TYPES_STREAM, n, gt_bytes),
-            *topo_parts,
+        streams = [(GEOMETRY_TYPES_STREAM, n, gt_bytes), *topo_parts]
+        if ring_part is not None:  # ICE polygons (amazon wire order)
+            streams.append(ring_part)
+        streams += [
             (VERTEX_OFFSETS_STREAM, n_vertices, offsets_bytes),
             (VERTEX_BUFFER_STREAM, dict_size, dict_bytes),
         ]
