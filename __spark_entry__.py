@@ -358,6 +358,53 @@ def q_tile_encode(spark, sf_dir):
     return tiles.select("z", "x", "y", "num_features", "payload_bytes").orderBy("z", "x", "y")
 
 
+def q_raster_cells(spark, sf_dir):
+    """Raster-grid aggregation: per (tile, 16x16 cell) point counts at z4
+    — the SQL-checkable half of the raster↔vector materialization
+    (pipeline/raster.py)."""
+    pts = _events_points(spark, sf_dir)
+    z = 4
+    n = 1 << z
+    grid = 16
+    cell = _EXTENT // grid
+    mx = _merc_x(F.col("lon"))
+    my = _merc_y(F.col("lat"))
+    tx = F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor(mx * n))).cast("int")
+    ty = F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor(my * n))).cast("int")
+    lx = F.floor((mx * n - tx) * _EXTENT).cast("int")
+    ly = F.floor((my * n - ty) * _EXTENT).cast("int")
+    return (
+        pts.select(
+            tx.alias("x"), ty.alias("y"),
+            (lx / cell).cast("int").alias("gx"),
+            (ly / cell).cast("int").alias("gy"),
+        )
+        .groupBy("x", "y", "gx", "gy")
+        .agg(F.count("*").alias("n_points"))
+        .orderBy("x", "y", "gx", "gy")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: per-user session count with 1-hour inactivity gaps
+    (lag window over event time — W-class ordered computation)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gaps (tz shifts cancel in the difference)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us, 1).over(w)
+    new_session = F.when(gap.isNull() | (gap > 3_600_000_000), 1).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ------------------------------------------------------- training-data ops
 
 def q_dedup_exact(spark, sf_dir):
@@ -510,6 +557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn": q_knn,
         "q_tile_feature_counts": q_tile_feature_counts,
         "q_tile_encode": q_tile_encode,
+        "q_raster_cells": q_raster_cells,
+        "q_sessionize": q_sessionize,
         "q_dedup_exact": q_dedup_exact,
         "q_token_counts": q_token_counts,
         "q_lang_id": q_lang_id,
@@ -683,6 +732,34 @@ def oracle_sql() -> dict[str, str]:
               FROM pts CROSS JOIN (SELECT unnest([2, 4, 6]) AS z))
             SELECT z, x, y, count(*) AS n_features
             FROM assigned GROUP BY z, x, y ORDER BY z, x, y
+        """,
+        "q_raster_cells": f"""
+            WITH pts AS (
+              SELECT {_MX_E} AS mx, {_MY_E} AS my FROM events),
+            t AS (
+              SELECT mx, my,
+                     cast(least(15, greatest(0, floor(mx * 16))) as int) AS x,
+                     cast(least(15, greatest(0, floor(my * 16))) as int) AS y
+              FROM pts)
+            SELECT x, y,
+                   cast(floor((mx * 16 - x) * {_EXTENT}) as int) // {_EXTENT // 16} AS gx,
+                   cast(floor((my * 16 - y) * {_EXTENT}) as int) // {_EXTENT // 16} AS gy,
+                   count(*) AS n_points
+            FROM t GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+        """,
+        "q_sessionize": """
+            SELECT user_id,
+                   cast(sum(new_session) as bigint) AS n_sessions,
+                   count(*) AS n_events
+            FROM (
+              SELECT user_id,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id) > 3600000000
+                          OR lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events)
+            GROUP BY user_id ORDER BY user_id
         """,
         "q_dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,

@@ -173,3 +173,19 @@ def knn_cell_pruned(
         "query_id", "rank", "point_id", "dist_m"
     )
     return good, bad
+
+
+def knn_exact(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 7,
+    point_id: str = "image_id",
+) -> DataFrame:
+    """Exact kNN at scale: cell-pruned fast path + broadcast fallback for
+    the (usually empty) set of queries whose guarantee failed."""
+    good, bad = knn_cell_pruned(points, queries, k=k, bits=bits, point_id=point_id)
+    fallback_qs = queries.join(bad, "query_id", "left_semi")
+    fallback = knn_broadcast(points, fallback_qs.select("query_id", "lon", "lat"),
+                             k=k, point_id=point_id)
+    return good.unionAll(fallback)
