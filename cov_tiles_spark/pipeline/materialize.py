@@ -3,10 +3,11 @@
 The Spark lifecycle equivalent of the reference's per-tile converter loop
 (`CovtConverter.java:103-175`, traced in SURVEY.md §3.1):
 
-    records → withColumn(tile ids)            narrow, codegen
-            → per-tile feature cap            Window top-K (bounds UDF groups)
-            → groupBy(z, x, y)                the ONLY wide exchange
-            → applyInPandas(encode_tile)      all codec work vectorized
+    records → withColumn(tile ids)              narrow, codegen
+            → repartition(hash(z,x,y))          the ONLY wide exchange
+            → sortWithinPartitions(keys, _sk)   sample-ordered tiles
+            → mapInPandas(streaming encode)     inline per-tile cap +
+                                                vectorized codec work
             → (z, x, y, payload, stats)
 
 Scale design (SURVEY.md §4.2):
@@ -75,12 +76,15 @@ def assign_tiles(
 
 
 def cap_tile_features(assigned: DataFrame, max_features: int) -> DataFrame:
-    """Deterministic per-tile cap bounding every downstream pandas group.
+    """Window-based per-tile cap (standalone operator).
 
     Rank by ``xxhash64(image_id, z)`` (a deterministic uniform sample —
     spatially unbiased, unlike a Hilbert-prefix cut) with image_id
-    tie-break; keep the first ``max_features``. JVM-only expressions, so
-    the wide stage stays in whole-stage codegen.
+    tie-break; keep the first ``max_features``. JVM-only expressions.
+
+    ``materialize_tiles`` applies the *same selection* inline in its
+    sorted encode stream (zero extra exchange); this window form remains
+    for capping ahead of other consumers.
     """
     w = Window.partitionBy("z", "x", "y").orderBy(
         F.xxhash64("image_id", F.col("z")), F.col("image_id")

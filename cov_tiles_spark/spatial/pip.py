@@ -101,3 +101,61 @@ def pip_join(points: DataFrame, boundaries: DataFrame) -> DataFrame:
     return points.groupBy("z", "x", "y").cogroup(
         flat_bounds.groupBy("z", "x", "y")
     ).applyInPandas(refine, schema=out_schema)
+
+
+def pip_join_broadcast(points: DataFrame, boundaries: DataFrame) -> DataFrame:
+    """Broadcast variant: boundary SoA arrays join onto point rows (small
+    dim side broadcast by AQE/hint), then a batch-vectorized refine in
+    ``mapInPandas`` that groups rows by tile *within each Arrow batch* —
+    no cogroup shuffle, no per-tile protocol overhead (the cogrouped
+    applyInPandas path pays ~6 ms per group; see
+    pipeline/materialize.py). Use when the boundary table fits in a
+    broadcast (tile boundaries almost always do: one small polygon per
+    tile); fall back to ``pip_join`` otherwise.
+    """
+    import pyspark.sql.functions as F2
+
+    flat = boundaries.select(
+        "z", "x", "y",
+        F2.col("boundary.ring_offsets").alias("_ring_offsets"),
+        F2.col("boundary.vertex_buffer").alias("_vertex_buffer"),
+    )
+    joined = points.join(F2.broadcast(flat), ["z", "x", "y"], "left")
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in points.schema.fields
+    ) + ", " + PIP_RESULT_EXTRA
+
+    point_cols = [f.name for f in points.schema.fields]
+
+    def refine(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            inside = np.zeros(len(pdf), dtype=bool)
+            has_b = pdf["_ring_offsets"].notna().to_numpy()
+            # group rows by tile within the batch: one ray cast per tile
+            keys = pdf[["z", "x", "y"]].to_numpy(np.int64)
+            order = np.lexsort((keys[:, 2], keys[:, 1], keys[:, 0]))
+            sk = keys[order]
+            change = np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            change[1:] = (np.diff(sk, axis=0) != 0).any(axis=1)
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(pdf))
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                rows = order[s:e]
+                if not has_b[rows[0]]:
+                    continue
+                b_rings = np.asarray(pdf["_ring_offsets"].iloc[rows[0]], np.int64)
+                b_verts = np.asarray(pdf["_vertex_buffer"].iloc[rows[0]], np.int64)
+                inside[rows] = point_in_rings_np(
+                    pdf["local_x"].to_numpy(np.float64)[rows],
+                    pdf["local_y"].to_numpy(np.float64)[rows],
+                    b_rings,
+                    b_verts,
+                )
+            out = pdf[point_cols].copy()
+            out["inside"] = inside
+            yield out
+
+    return joined.mapInPandas(refine, schema=out_schema)

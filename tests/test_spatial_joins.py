@@ -120,3 +120,15 @@ def test_knn_cell_pruned_exact_or_flagged(spark, corpus):
     # coverage: guaranteed + flagged == all queries
     covered = {r.query_id for r in good_rows} | bad_ids
     assert covered == {r.query_id for r in queries.collect()}
+
+
+def test_pip_join_broadcast_matches_cogroup(spark, corpus):
+    from cov_tiles_spark.spatial.pip import pip_join_broadcast
+
+    assigned = assign_tiles(corpus.select("image_id", "lon", "lat"), [5])
+    bounds = tile_boundaries_df(spark, assigned)
+    pts = assigned.select("image_id", "z", "x", "y", "local_x", "local_y")
+
+    a = {(r.image_id, r.z): r.inside for r in pip_join(pts, bounds).collect()}
+    b = {(r.image_id, r.z): r.inside for r in pip_join_broadcast(pts, bounds).collect()}
+    assert a == b and len(a) == N
