@@ -36,8 +36,20 @@ _MAX_LITERALS = 128  # header 0x80
 def decode_int_rle(
     buf: np.ndarray, n: int, offset: int = 0, signed: bool = False
 ) -> tuple[np.ndarray, int]:
-    """Decode ``n`` integers; returns (int64/uint64 array, new offset)."""
+    """Decode ``n`` integers; returns (int64/uint64 array, new offset).
+
+    Terminator positions are scanned once for the whole stream and all
+    literal blocks decode in a single vectorized pass — the per-block
+    ``decode_varints`` path paid ~35 µs of numpy setup per (≤128-value)
+    block, dominating literal-heavy streams.
+    """
     out = np.empty(n, dtype=np.int64 if signed else np.uint64)
+    # absolute positions of varint terminator bytes (headers/deltas may
+    # coincide; block walking below skips past them with searchsorted)
+    term = offset + np.flatnonzero(buf[offset : offset + 10 * n + 2 * n + 16] < 0x80)
+    lit_starts: list[np.ndarray] = []
+    lit_ends: list[np.ndarray] = []
+    lit_out: list[int] = []
     count = 0
     while count < n:
         header = int(buf[offset])
@@ -48,16 +60,39 @@ def decode_int_rle(
             offset += 1
             first, offset = decode_varint(buf, offset)
             if signed:
-                first = int(zigzag_decode(np.array([first], dtype=np.uint64))[0])
+                first = (first >> 1) ^ -(first & 1)
             out[count : count + run] = first + np.arange(run, dtype=np.int64) * delta
             count += run
         else:
             lit = 256 - header
-            vals, offset = decode_varints(buf, lit, offset)
-            if signed:
-                vals = zigzag_decode(vals)
-            out[count : count + lit] = vals
+            ti = int(np.searchsorted(term, offset))
+            ends = term[ti : ti + lit]
+            starts = np.empty(lit, dtype=np.int64)
+            starts[0] = offset
+            starts[1:] = ends[:-1] + 1
+            lit_starts.append(starts)
+            lit_ends.append(ends)
+            lit_out.append(count)
+            offset = int(ends[-1]) + 1
             count += lit
+    if lit_starts:
+        starts = np.concatenate(lit_starts)
+        ends = np.concatenate(lit_ends)
+        vals = np.zeros(starts.shape[0], dtype=np.uint64)
+        max_len = int((ends - starts).max()) + 1
+        for j in range(max_len):  # <= 10 iterations, vectorized
+            pos = starts + j
+            m = pos <= ends
+            vals[m] |= (buf[pos[m]].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(
+                7 * j
+            )
+        if signed:
+            vals = zigzag_decode(vals)
+        cursor = 0
+        for out_at, s in zip(lit_out, lit_starts):
+            k = s.shape[0]
+            out[out_at : out_at + k] = vals[cursor : cursor + k]
+            cursor += k
     return out, offset
 
 

@@ -57,10 +57,19 @@ def decode_varints(
     """
     if n == 0:
         return np.empty(0, dtype=np.uint64), offset
-    seg = buf[offset:]
-    term = np.flatnonzero(seg < 0x80)
-    if term.shape[0] < n:
-        raise ValueError(f"buffer exhausted: wanted {n} varints")
+    # incremental terminator scan: start near the expected byte extent and
+    # grow — scanning the whole remaining buffer per call is O(blocks x
+    # tile size) when RLE decoders call this per literal block
+    total = buf.shape[0] - offset
+    chunk = min(total, max(64, 3 * n + 16))
+    while True:
+        seg = buf[offset : offset + chunk]
+        term = np.flatnonzero(seg < 0x80)
+        if term.shape[0] >= n:
+            break
+        if chunk >= total:
+            raise ValueError(f"buffer exhausted: wanted {n} varints")
+        chunk = min(total, chunk * 4)
     ends = term[:n]
     starts = np.empty(n, dtype=np.int64)
     starts[0] = 0
