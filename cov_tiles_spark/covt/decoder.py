@@ -165,6 +165,8 @@ def vertex_segment_lengths(
     """
     t = np.asarray(geometry_types, dtype=np.int64)
     n = t.shape[0]
+    if (t == GeometryType.POINT).all():  # pure point layers: 1-vertex segments
+        return np.ones(n, dtype=np.int64)
     go = np.zeros(0, np.int64) if geometry_offsets is None else geometry_offsets.astype(np.int64)
     po = np.zeros(0, np.int64) if part_offsets is None else part_offsets.astype(np.int64)
     ro = np.zeros(0, np.int64) if ring_offsets is None else ring_offsets.astype(np.int64)

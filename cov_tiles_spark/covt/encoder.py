@@ -83,9 +83,17 @@ def _varint(v: int) -> bytes:
             return bytes(out)
 
 
+_STRING_CACHE: dict[str, bytes] = {}
+
+
 def _write_string(s: str) -> bytes:
-    raw = s.encode("utf-8")
-    return _varint(len(raw)) + raw
+    cached = _STRING_CACHE.get(s)
+    if cached is None:
+        raw = s.encode("utf-8")
+        cached = _varint(len(raw)) + raw
+        if len(_STRING_CACHE) < 4096:  # stream/column names recur per tile
+            _STRING_CACHE[s] = cached
+    return cached
 
 
 def _stream_meta(name: str, num_values: int, byte_length: int) -> bytes:

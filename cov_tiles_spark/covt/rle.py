@@ -128,7 +128,7 @@ def encode_int_rle(values: np.ndarray, signed: bool = False) -> bytes:
     n = v.shape[0]
     if n == 0:
         return b""
-    if n == 1:
+    if n <= 4:  # tiny streams: runs save almost nothing; skip run detection
         parts: list[bytes] = []
         _emit_literals(parts, v, signed)
         return b"".join(parts)
@@ -186,6 +186,8 @@ def encode_byte_rle(values: np.ndarray) -> bytes:
     n = v.shape[0]
     if n == 0:
         return b""
+    if n <= 2:  # tiny bitsets (<= 16 features): literal block, no scan
+        return bytes([256 - n]) + v.tobytes()
     # boundaries of equal-value stretches
     change = np.empty(n, dtype=bool)
     change[0] = True
