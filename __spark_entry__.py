@@ -299,22 +299,49 @@ def q_pip(spark, sf_dir):
 def q_knn(spark, sf_dir):
     """Exact kNN: 50 broadcast query points vs events points, top-5 by
     squared euclidean (arithmetic-only metric -> bit-identical across
-    engines), ties broken by point id (SURVEY §2.3/§2.5 mapping)."""
+    engines), ties broken by point id (SURVEY §2.3/§2.5 mapping).
+
+    Plan: radius prefilter (L-inf box r) before the window shuffle; a
+    query whose 5th hit lies within r (dist2 <= r^2) is provably exact
+    (any point outside the box has dist2 > r^2). Unsatisfied queries
+    fall back to the unfiltered window — exactness never depends on r.
+    """
+    k, r = 5, 3.0
     pts = _events_points(spark, sf_dir)
     q = spark.range(50).select(
         F.col("id").alias("query_id"),
         (((F.col("id") * 37 + 11) * 9973 % 3600) / F.lit(10.0) - F.lit(180.0) + F.lit(0.05)).alias("q_lon"),
         (((F.col("id") * 53 + 7) * 7919 % 1600) / F.lit(10.0) - F.lit(80.0) + F.lit(0.05)).alias("q_lat"),
     )
-    pairs = pts.join(F.broadcast(q))
     d2 = (F.col("lon") - F.col("q_lon")) ** 2 + (F.col("lat") - F.col("q_lat")) ** 2
     w = Window.partitionBy("query_id").orderBy(F.col("dist2"), F.col("event_id"))
-    return (
-        pairs.withColumn("dist2", d2)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "rank", F.col("event_id").alias("point_id"))
+
+    def topk(pairs):
+        return (
+            pairs.withColumn("dist2", d2)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    pairs = pts.join(F.broadcast(q))
+    near = topk(
+        pairs.filter(
+            (F.abs(F.col("lon") - F.col("q_lon")) <= r)
+            & (F.abs(F.col("lat") - F.col("q_lat")) <= r)
+        )
+    ).cache()
+    satisfied = (
+        near.groupBy("query_id")
+        .agg(F.count("*").alias("n"), F.max("dist2").alias("kth"))
+        .filter((F.col("n") >= k) & (F.col("kth") <= r * r))
+        .select("query_id")
     )
+    out_cols = ["query_id", "rank", F.col("event_id").alias("point_id")]
+    good = near.join(satisfied, "query_id", "left_semi").select(*out_cols)
+    rest_q = q.join(satisfied, "query_id", "left_anti")
+    fallback = topk(pts.join(F.broadcast(rest_q))).select(*out_cols)
+    # select per branch: joins reorder columns and unionAll is positional
+    return good.unionAll(fallback)
 
 
 def q_tile_feature_counts(spark, sf_dir):
