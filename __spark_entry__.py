@@ -506,34 +506,19 @@ def q_simhash_dedup(spark, sf_dir):
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 vs the vec_id=0 embedding (similarity #1).
 
-    Outputs rank+id only (cosine kept out of the hash: cross-engine float
-    summation differences). Tie-break by vec_id.
+    Delegates to operators.similarity.cosine_topk — distributed
+    ``orderBy().limit`` (TakeOrderedAndProject: per-partition top-k heaps,
+    never a single-partition global window). Ordering key is
+    round(cosine, 6) with vec_id tie-break so the DuckDB twin's float
+    summation order cannot flip ranks; cosine stays out of the output hash.
     """
+    from cov_tiles_spark.operators.similarity import cosine_topk
+
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    qarr = F.array(*[F.lit(float(v)) for v in qvec])
-    dot = F.aggregate(
-        F.zip_with(F.col("embedding"), qarr, lambda x, y: (x * y).cast("double")),
-        F.lit(0.0),
-        lambda a, v: a + v,
-    )
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("embedding"), lambda x: (x * x).cast("double")),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
-    )
-    import numpy as _np
-
-    qn = float(_np.linalg.norm(_np.asarray(qvec, dtype=_np.float64)))
-    cos = dot / (norm * F.lit(qn))
-    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
-        emb.withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("rank", "vec_id")
+        cosine_topk(emb, "embedding", "vec_id", list(qvec), 10, order_round=6)
+        .select("rank", F.col("id").alias("vec_id"))
     )
 
 
@@ -821,8 +806,25 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             ORDER BY doc_id
         """,
+        "q_cosine_topk": """
+            WITH q AS (
+              SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT vec_id,
+                     round(
+                       list_dot_product(ev, qv)
+                       / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))),
+                       6) AS c
+              FROM (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+                    FROM embeddings) CROSS JOIN q)
+            SELECT cast(row_number() OVER (ORDER BY c DESC, vec_id) as int) AS rank,
+                   vec_id
+            FROM scored ORDER BY c DESC, vec_id LIMIT 10
+        """,
         # q_hilbert_cells / q_tile_encode / q_minhash_dedup / q_simhash_dedup /
-        # q_embedding_near_dups / q_doc_fingerprint / q_cosine_topk:
+        # q_embedding_near_dups / q_doc_fingerprint:
         # intentionally omitted (pandas-UDF signatures or engine-specific
         # payloads -> rows-only check; pytest covers exactness).
     }

@@ -21,8 +21,10 @@ from pyspark.sql.types import LongType
 
 
 def _dot_expr(a, b):
+    # cast BEFORE multiply: float32 products differ from double products at
+    # ~1e-7 relative, which breaks cross-engine (DuckDB oracle) rounding
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -31,7 +33,7 @@ def _dot_expr(a, b):
 def _norm_expr(a):
     return F.sqrt(
         F.aggregate(
-            F.transform(a, lambda x: (x * x).cast("double")),
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -39,18 +41,38 @@ def _norm_expr(a):
 
 
 def cosine_topk(
-    df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int,
+    order_round: int | None = None,
 ) -> DataFrame:
-    """Exact top-k by cosine similarity to one query vector (JVM-side)."""
+    """Exact top-k by cosine similarity to one query vector (JVM-side).
+
+    Distributed plan: ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject — every partition keeps a local top-k heap and
+    only k rows per partition reach the driver-side merge. (A global
+    ``row_number`` window would funnel ALL rows through one task.)
+
+    ``order_round`` (decimal places) makes the ordering key
+    ``round(cosine, dp)`` so last-ulp float summation differences across
+    engines cannot flip ranks — ties then break deterministically by id.
+    """
     q = F.array(*[F.lit(float(v)) for v in query])
-    q_norm = float(np.linalg.norm(query))
+    q_norm = float(np.linalg.norm(np.asarray(query, dtype=np.float64)))
     cos = _dot_expr(F.col(vec_col), q) / (_norm_expr(F.col(vec_col)) * F.lit(q_norm))
+    scored = df.select(F.col(id_col).alias("id"), cos.alias("cosine"))
+    order_key = (
+        F.round(F.col("cosine"), order_round) if order_round is not None
+        else F.col("cosine")
+    )
     return (
-        df.select(F.col(id_col).alias("id"), cos.alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col("id"))
+        scored.withColumn("_ord", order_key)
+        .orderBy(F.col("_ord").desc(), F.col("id"))
         .limit(k)
         .withColumn("rank", F.row_number().over(
-            Window.orderBy(F.col("cosine").desc(), F.col("id"))
+            Window.orderBy(F.col("_ord").desc(), F.col("id"))
         ))
         .select("rank", "id", "cosine")
     )
