@@ -15,6 +15,8 @@ shuffles (id, signature) pairs — text/bytes stay columnar at rest.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -22,6 +24,40 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 _MERSENNE = (1 << 61) - 1
+
+logger = logging.getLogger("cov_tiles_spark.dedup")
+
+
+def _cap_buckets(
+    buckets: DataFrame, keys: list[str], max_bucket_size: int | None, op: str
+) -> DataFrame:
+    """Drop LSH buckets with more than ``max_bucket_size`` members.
+
+    One degenerate bucket (millions of empty/boilerplate docs sharing a
+    signature) makes the bucket self-join quadratic at scale, so buckets
+    over the cap are dropped — never silently: the count is logged and the
+    dropped buckets are exactly the ones ``exact_dedup`` (identical text)
+    already covers at hash-agg cost. The oversized-bucket list is tiny by
+    construction (each surviving key represents > cap rows), so it is
+    counted eagerly and broadcast into the anti-join.
+    """
+    if max_bucket_size is None:
+        return buckets
+    big = (
+        buckets.groupBy(*keys)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .select(*keys)
+        .cache()
+    )
+    n_dropped = big.count()
+    if n_dropped:
+        logger.warning(
+            "%s: dropped %d oversized LSH bucket(s) (> %d members); "
+            "identical members are still caught by exact_dedup",
+            op, n_dropped, max_bucket_size,
+        )
+    return buckets.join(F.broadcast(big), keys, "left_anti")
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -100,6 +136,7 @@ def minhash_near_dups(
     bands: int | None = None,
     shingle: int = 5,
     threshold: float = 0.7,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with estimated Jaccard >= threshold.
 
@@ -107,7 +144,9 @@ def minhash_near_dups(
     the banded LSH keeps candidate generation sub-quadratic. Candidates
     travel as id pairs only (the 64-long signatures rejoin once after
     pair dedup — shuffling them through the band join multiplies shuffle
-    bytes by bands x sig size).
+    bytes by bands x sig size). Buckets over ``max_bucket_size`` are
+    dropped with a logged count (see ``_cap_buckets``) so one degenerate
+    signature can't go quadratic.
     """
     if bands is None:
         bands, rows_per_band = _band_shape(num_hashes, threshold)
@@ -130,6 +169,7 @@ def minhash_near_dups(
     buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "id", "bb.band", "bb.bucket"
     )
+    buckets = _cap_buckets(buckets, ["band", "bucket"], max_bucket_size, "minhash")
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -194,17 +234,26 @@ def hash_token(tok: str) -> int:
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= max_hamming.
 
     Band trick: split 64 bits into (max_hamming + 1) bands; any pair
     within the budget must agree exactly on >= 1 band (pigeonhole) —
-    exact recall, sub-quadratic candidates.
+    exact recall, sub-quadratic candidates. Buckets over
+    ``max_bucket_size`` are dropped with a logged count; recall stays
+    exact for every pair whose agreeing band survived (identical texts —
+    the usual cause of a degenerate bucket — are exact_dedup's job).
     """
     n_bands = max_hamming + 1
     width = 64 // n_bands
-    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
+    ).cache()
     def band_val(i):
         v = F.shiftrightunsigned(F.col("sh"), i * width)
         if width < 64:  # width=64 needs no mask (and 2^64-1 overflows lit)
@@ -218,6 +267,7 @@ def simhash_near_dups(
     buckets = sh.select("id", "sh", F.explode(F.array(*bands)).alias("bb")).select(
         "id", "sh", "bb.band", "bb.bucket"
     )
+    buckets = _cap_buckets(buckets, ["band", "bucket"], max_bucket_size, "simhash")
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(b, ["band", "bucket"])
@@ -246,8 +296,16 @@ def embedding_near_dups(
     n_planes: int = 16,
     threshold: float = 0.95,
     seed: int = 42,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
-    """Cosine near-duplicate pairs via random-hyperplane LSH + exact verify."""
+    """Cosine near-duplicate pairs via random-hyperplane LSH + exact verify.
+
+    Candidates travel as (id_a, id_b) only — the full vectors rejoin once
+    for the exact-cosine verify (same shuffle discipline as
+    ``minhash_near_dups``: shipping vectors through the bucket self-join
+    multiplies shuffle bytes by the bucket fan-out). Oversized buckets are
+    dropped with a logged count.
+    """
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
 
@@ -262,27 +320,28 @@ def embedding_near_dups(
         return pd.Series(out)
 
     sig = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), signature(F.col(vec_col)).alias("sig")
-    )
-    a, b = sig.alias("a"), sig.alias("b")
+        F.col(id_col).alias("id"), signature(F.col(vec_col)).alias("sig")
+    ).cache()
+    buckets = _cap_buckets(sig, ["sig"], max_bucket_size, "embedding_lsh")
+    a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
-        a.join(b, F.col("a.sig") == F.col("b.sig"))
+        a.join(b, "sig")
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.vec").alias("vec_a"),
-            F.col("b.vec").alias("vec_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    cand = (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
     )
     dot = F.aggregate(
-        F.zip_with("vec_a", "vec_b", lambda x, y: (x * y).cast("double")),
+        F.zip_with("vec_a", "vec_b", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
     norm = lambda c: F.sqrt(
         F.aggregate(
-            F.transform(c, lambda x: (x * x).cast("double")),
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )

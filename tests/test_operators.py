@@ -86,6 +86,67 @@ def test_embedding_near_dups_finds_planted(spark, embs):
     assert all((i, i + 1_000_000) in got for i in ids)
 
 
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark, caplog):
+    """A degenerate corpus (50k identical docs — one giant LSH bucket)
+    must complete in bounded time: the oversized bucket is dropped with a
+    logged count, while pairs among the normal docs are still found."""
+    import logging
+
+    n_degenerate = 50_000
+    junk = spark.range(n_degenerate).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.lit("lorem ipsum boilerplate footer text").alias("text"),
+    )
+    real = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight again"),
+            (2, "the quick brown fox jumps over the lazy dog tonight again"),
+            (3, "completely different content about spark shuffle partitions"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = real.unionAll(junk)
+    with caplog.at_level(logging.WARNING, logger="cov_tiles_spark.dedup"):
+        pairs = minhash_near_dups(
+            corpus, "text", "doc_id", threshold=0.9, max_bucket_size=100
+        ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got, "real near-dup pair lost to the bucket cap"
+    # no pair from the degenerate bucket survives (it was dropped+logged)
+    assert not any(a >= 10_000_000 for a, _ in got)
+    assert any("dropped" in rec.message for rec in caplog.records)
+
+    with caplog.at_level(logging.WARNING, logger="cov_tiles_spark.dedup"):
+        spairs = simhash_near_dups(
+            corpus, "text", "doc_id", max_hamming=0, max_bucket_size=100
+        ).collect()
+    sgot = {(r.id_a, r.id_b) for r in spairs}
+    assert (1, 2) in sgot
+    assert not any(a >= 10_000_000 for a, _ in sgot)
+
+    # the dropped identical docs are exactly what exact_dedup catches
+    exact = exact_dedup(corpus, "text", "doc_id").collect()
+    junk_row = [r for r in exact if r.n_copies == n_degenerate]
+    assert len(junk_row) == 1 and junk_row[0].keeper_id == 10_000_000
+
+
+def test_embedding_bucket_cap(spark):
+    """Identical embeddings beyond the cap are dropped; distinct planted
+    near-dups keep flowing (id-only candidates + vector rejoin path)."""
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=64)
+    rows = [(0, base.tolist()), (1, (base + rng.normal(0, 1e-4, 64)).tolist())]
+    junk_vec = rng.normal(size=64).tolist()
+    rows += [(100 + i, junk_vec) for i in range(500)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_near_dups(
+        df, "embedding", "vec_id", dim=64, threshold=0.999, max_bucket_size=50
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got
+    assert not any(a >= 100 for a, _ in got)
+
+
 def test_cosine_topk_matches_numpy(spark, embs):
     rows = embs.collect()
     mat = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
