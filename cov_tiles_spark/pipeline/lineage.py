@@ -50,11 +50,21 @@ class IcebergLite:
         except Exception:
             return self.spark.createDataFrame([], MANIFEST_SCHEMA)
 
-    def committed_keys(self, table: str, stage: str) -> set[str]:
-        df = self.manifests().filter(
-            (F.col("table") == table) & (F.col("stage") == stage)
+    def committed_keys_df(self, table: str, stage: str) -> DataFrame:
+        """Distinct committed partition keys as a DataFrame (the scale
+        path: consumed by anti-joins, never collected to the driver)."""
+        return (
+            self.manifests()
+            .filter((F.col("table") == table) & (F.col("stage") == stage))
+            .select("partition_key")
+            .distinct()
         )
-        return {r.partition_key for r in df.select("partition_key").distinct().collect()}
+
+    def committed_keys(self, table: str, stage: str) -> set[str]:
+        """Driver-side set view — for tests/inspection only. Resume logic
+        uses ``committed_keys_df`` + anti-join (collecting 10^5-10^6 keys
+        and building an ``isin`` literal list both blow up at scale)."""
+        return {r.partition_key for r in self.committed_keys_df(table, stage).collect()}
 
     # ---------------- write path ----------------
 
@@ -68,9 +78,15 @@ class IcebergLite:
         """Write ``df`` partitioned by ``partition_col``, skipping already-
         committed partitions; append manifest rows with row/byte metrics
         and a value checksum. Returns the manifest rows written."""
-        done = self.committed_keys(table, stage)
-        if done:
-            df = df.filter(~F.col(partition_col).cast("string").isin(list(done)))
+        done = self.committed_keys_df(table, stage).withColumnRenamed(
+            "partition_key", "_done_pk"
+        )
+        # left-anti join against the manifest: distributed resume filter
+        # (scales to millions of committed partitions; an isin literal list
+        # would serialize them all into the plan)
+        df = df.join(
+            done, df[partition_col].cast("string") == done["_done_pk"], "left_anti"
+        )
 
         snapshot_id = uuid.uuid4().hex[:16]
         data_dir = f"{self.root}/{table}/snapshot_id={snapshot_id}"
@@ -134,13 +150,14 @@ def run_stage(
     lake: IcebergLite,
     table: str,
     stage: str,
-    build: "callable[[set[str]], DataFrame]",
+    build: "callable[[DataFrame], DataFrame]",
     partition_col: str,
 ) -> DataFrame:
-    """Idempotent stage: ``build(done_keys)`` produces the stage output
-    (it may prune already-done work early); only not-yet-committed
-    partitions are written. Returns new manifest rows (empty on full
-    resume)."""
-    done = lake.committed_keys(table, stage)
+    """Idempotent stage: ``build(done)`` produces the stage output; ``done``
+    is a DataFrame of already-committed partition keys (column
+    ``partition_key``) the builder may anti-join against to prune work
+    early — never a collected set. Only not-yet-committed partitions are
+    written. Returns new manifest rows (empty on full resume)."""
+    done = lake.committed_keys_df(table, stage)
     df = build(done)
     return lake.commit_partitions(table, stage, df, partition_col)

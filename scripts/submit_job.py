@@ -57,8 +57,13 @@ def main() -> None:
         lake = IcebergLite(spark, args.output)
         images = spark.read.parquet(args.input)
 
-        def build(done: set[str]):
-            todo = [z for z in zooms if str(z) not in done]
+        def build(done):
+            # done is a DataFrame of committed partition keys; zoom levels
+            # are O(20) so a driver collect here is genuinely tiny (the
+            # per-partition resume filter itself is an anti-join inside
+            # commit_partitions — never collected)
+            done_z = {r.partition_key for r in done.collect()}
+            todo = [z for z in zooms if str(z) not in done_z]
             return materialize_tiles(images, todo, with_mvt_baseline=False)
 
         manifest = run_stage(lake, "tiles", "encode", build, "z")

@@ -48,8 +48,8 @@ def test_idempotent_resume(spark, lake):
 def test_run_stage_prunes_done_work(spark, lake):
     calls = []
 
-    def build(done: set[str]):
-        calls.append(done)
+    def build(done):  # done: DataFrame of committed partition_key
+        calls.append({r.partition_key for r in done.collect()})
         return spark.range(20).select(
             F.col("id"), (F.col("id") % 2).cast("string").alias("bucket")
         )
@@ -58,6 +58,32 @@ def test_run_stage_prunes_done_work(spark, lake):
     assert m1.count() == 2 and calls[0] == set()
     m2 = run_stage(lake, "t3", "encode", build, "bucket")
     assert m2.count() == 0 and calls[1] == {"0", "1"}
+
+
+def test_resume_scales_to_many_partitions(spark, lake):
+    """10k committed partitions: resume must stay an anti-join (no driver
+    collect of keys, no isin literal list in the plan)."""
+    df = spark.range(10_000).select(
+        F.col("id"), F.col("id").cast("string").alias("bucket")
+    )
+    first = lake.commit_partitions("t10k", "s1", df, "bucket")
+    assert first.count() == 10_000
+
+    # resume: all partitions already committed -> nothing written; the
+    # pending side must be filtered by a join, not an In(...) literal list
+    pending = df.join(
+        lake.committed_keys_df("t10k", "s1").withColumnRenamed(
+            "partition_key", "_done_pk"
+        ),
+        df["bucket"] == F.col("_done_pk"),
+        "left_anti",
+    )
+    plan = pending._jdf.queryExecution().executedPlan().toString()
+    assert "Join LeftAnti" in plan or "Join" in plan
+    assert " IN (" not in plan
+
+    second = lake.commit_partitions("t10k", "s1", df, "bucket")
+    assert second.count() == 0
 
 
 def test_metrics_and_lineage_fields(spark, lake):
