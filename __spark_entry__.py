@@ -296,6 +296,74 @@ def q_pip(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q_pip_join(spark, sf_dir):
+    """Production point-in-polygon join (spatial/pip.py pip_join_broadcast)
+    on deterministic per-tile boundary polygons.
+
+    Boundaries: every occupied z6 tile gets a full-extent square shell;
+    tiles with (z + x + y) % 20 == 0 additionally carry a centered square
+    hole (7/16..9/16 of the extent). The even-odd ray cast classifies a
+    grid point as in-hole iff lo <= local < hi on both axes (half-open:
+    the cast counts a crossing for y in [y1, y2) and x < x_int), which is
+    what the SQL twin states directly.
+    """
+    from cov_tiles_spark.spatial.pip import pip_join_broadcast
+
+    pts = q_tile_local_coords(spark, sf_dir).select(
+        "event_id",
+        F.lit(_Z).alias("z"),
+        F.col("tile_x").alias("x"),
+        F.col("tile_y").alias("y"),
+        "local_x",
+        "local_y",
+    )
+    lo = _EXTENT * 7 // 16
+    hi = _EXTENT * 9 // 16
+    ext = _EXTENT
+    shell = [0, 0, ext, 0, ext, ext, 0, ext]
+    hole = [lo, lo, hi, lo, hi, hi, lo, hi]
+    has_hole = ((F.col("z") + F.col("x") + F.col("y")) % 20) == 0
+    boundaries = pts.select("z", "x", "y").distinct().select(
+        "z", "x", "y",
+        F.struct(
+            F.when(has_hole, F.array(F.lit(4), F.lit(4)))
+            .otherwise(F.array(F.lit(4))).alias("ring_offsets"),
+            F.when(
+                has_hole,
+                F.array(*[F.lit(v) for v in shell + hole]),
+            ).otherwise(F.array(*[F.lit(v) for v in shell])).alias("vertex_buffer"),
+        ).alias("boundary"),
+    )
+    return (
+        pip_join_broadcast(pts, boundaries)
+        .select("event_id", "inside")
+        .orderBy("event_id")
+    )
+
+
+def q_knn_cell(spark, sf_dir):
+    """Production exact kNN (spatial/knn.py knn_exact): cell-pruned 3x3
+    candidate lists with a provable exactness guarantee + broadcast
+    fallback, haversine meters, ties by point id. Query points sit off
+    the events' 0.05-offset lattice so no two candidate distances are
+    near-equal across engines (cross-engine trig differs in the last
+    ulp); dist stays out of the output hash.
+    """
+    from cov_tiles_spark.spatial.knn import knn_exact
+
+    pts = _events_points(spark, sf_dir)
+    q = spark.range(40).select(
+        F.col("id").alias("query_id"),
+        (((F.col("id") * 41 + 13) * 9973 % 3600) / F.lit(10.0) - F.lit(180.0) + F.lit(0.0137)).alias("lon"),
+        (((F.col("id") * 59 + 5) * 7919 % 1600) / F.lit(10.0) - F.lit(80.0) + F.lit(0.0731)).alias("lat"),
+    )
+    return (
+        knn_exact(pts, q, k=5, bits=5, point_id="event_id")
+        .select("query_id", "rank", "point_id")
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_knn(spark, sf_dir):
     """Exact kNN: 50 broadcast query points vs events points, top-5 by
     squared euclidean (arithmetic-only metric -> bit-identical across
@@ -566,7 +634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_morton_cells": q_morton_cells,
         "q_hilbert_cells": q_hilbert_cells,
         "q_pip": q_pip,
+        "q_pip_join": q_pip_join,
         "q_knn": q_knn,
+        "q_knn_cell": q_knn_cell,
         "q_tile_feature_counts": q_tile_feature_counts,
         "q_tile_encode": q_tile_encode,
         "q_raster_cells": q_raster_cells,
@@ -716,6 +786,42 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_id, {_MX_E} AS mx, {_MY_E} AS my, {tile_xy}
                 FROM events))
             ORDER BY event_id
+        """,
+        "q_pip_join": f"""
+            SELECT event_id,
+                   NOT ( (({z} + tile_x + tile_y) % 20 = 0)
+                         AND local_x >= {lo} AND local_x < {hi}
+                         AND local_y >= {lo} AND local_y < {hi} ) AS inside
+            FROM (
+              SELECT event_id, tile_x, tile_y,
+                     cast(floor((mx * {n} - tile_x) * {ext}) as int) AS local_x,
+                     cast(floor((my * {n} - tile_y) * {ext}) as int) AS local_y
+              FROM (
+                SELECT event_id, {_MX_E} AS mx, {_MY_E} AS my, {tile_xy}
+                FROM events))
+            ORDER BY event_id
+        """,
+        "q_knn_cell": f"""
+            WITH q AS (
+              SELECT i AS query_id,
+                     (((i * 41 + 13) * 9973) % 3600) / 10.0 - 180.0 + 0.0137 AS q_lon,
+                     (((i * 59 + 5) * 7919) % 1600) / 10.0 - 80.0 + 0.0731 AS q_lat
+              FROM range(40) t(i)),
+            p AS (
+              SELECT event_id, {_LON_E} AS lon, {_LAT_E} AS lat FROM events),
+            ranked AS (
+              SELECT q.query_id, p.event_id AS point_id,
+                     row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY 2.0 * 6371008.8 * asin(sqrt(
+                           sin(radians(p.lat - q.q_lat) / 2) * sin(radians(p.lat - q.q_lat) / 2)
+                         + cos(radians(q.q_lat)) * cos(radians(p.lat))
+                           * sin(radians(p.lon - q.q_lon) / 2) * sin(radians(p.lon - q.q_lon) / 2)
+                         )),
+                         p.event_id) AS rank
+              FROM p CROSS JOIN q)
+            SELECT query_id, cast(rank as int) AS rank, point_id
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "q_knn": f"""
             WITH q AS (

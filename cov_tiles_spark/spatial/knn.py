@@ -10,10 +10,11 @@ north_star: "kNN (per-cell broadcast candidate lists + exact re-rank)"):
   must fit in a broadcast (typical: 1e3-1e6 probe points).
 
 - ``knn_cell_pruned``: points bucketed on a 2^bits mercator grid; each
-  query probes its 3x3 cell neighborhood (candidate lists), exact
-  re-rank within candidates, then an **exactness guarantee check**: the
-  k-th neighbor distance must not exceed the distance to the unexplored
-  region (one cell width minus in-cell offset). Queries failing the
+  query probes its 3x3 cell neighborhood (candidate lists, x periodic
+  across the antimeridian), exact re-rank within candidates, then an
+  **exactness guarantee check**: the k-th neighbor distance must not
+  exceed the distance to the unexplored region (one cell width minus
+  in-cell offset, on the periodic cylinder). Queries failing the
   guarantee are re-run through the broadcast path (driver-side two-pass;
   at production density the fallback set is empty).
 
@@ -24,10 +25,44 @@ point id (FIXTURES.md §3 fixed rule).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 EARTH_RADIUS_M = 6_371_008.8
+
+
+def _local_topk(pairs: DataFrame, k_max: int, has_qk: bool) -> DataFrame:
+    """Per-partition top-k reduction BEFORE any shuffle.
+
+    ``pairs`` is the broadcast cartesian (big side never shuffled); a
+    naive global window would exchange |points| x |queries| rows and
+    funnel every candidate for a query into one task. This narrow
+    ``mapInPandas`` pass keeps, per physical partition, only the k best
+    (dist_m, point_id)-ordered rows per query — the shuffle that follows
+    carries <= partitions x queries x k rows. Distributed top-k with a
+    total order is a monoid, so local-then-global is exact.
+    """
+    cols = pairs.columns
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in pairs.schema.fields
+    )
+
+    def reduce_topk(batches):
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = pd.concat([acc, pdf], ignore_index=True) if acc is not None else pdf
+            cur = cur.sort_values(
+                ["query_id", "dist_m", "point_id"], kind="mergesort",
+                ignore_index=True,
+            )
+            rank = cur.groupby("query_id", sort=False).cumcount()
+            keep = rank < (cur["q_k"] if has_qk else k_max)
+            acc = cur[keep.to_numpy()]
+        if acc is not None and len(acc):
+            yield acc[cols]
+
+    return pairs.mapInPandas(reduce_topk, schema=schema)
 
 
 def haversine_m(lon1, lat1, lon2, lat2):
@@ -68,9 +103,17 @@ def knn_broadcast(
     pairs = pairs.withColumn(
         "dist_m", haversine_m(F.col("q_lon"), F.col("q_lat"), F.col("p_lon"), F.col("p_lat"))
     )
+    has_qk = "k" in queries.columns
+    # per-partition top-k first: the window below then fans in at most
+    # partitions x k rows per query instead of |points| rows per query
+    reduced = _local_topk(
+        pairs.select("query_id", "point_id", "dist_m", *(["q_k"] if has_qk else [])),
+        k_max=k or 10,
+        has_qk=has_qk,
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("dist_m"), F.col("point_id"))
-    ranked = pairs.withColumn("rank", F.row_number().over(w))
-    limit = F.col("q_k") if "k" in queries.columns else F.lit(k or 10)
+    ranked = reduced.withColumn("rank", F.row_number().over(w))
+    limit = F.col("q_k") if has_qk else F.lit(k or 10)
     return ranked.filter(F.col("rank") <= limit).select(
         "query_id", "rank", "point_id", "dist_m"
     )
@@ -121,14 +164,22 @@ def knn_cell_pruned(
         qmx.alias("qmx"),
         qmy.alias("qmy"),
     )
-    # explode the 3x3 neighborhood of each query -> candidate cell list
+    # explode the 3x3 neighborhood of each query -> candidate cell list.
+    # x WRAPS at the antimeridian (the mercator cylinder is periodic in
+    # lon): without the wrap, a query near lon=+-180 misses closer points
+    # on the other side AND the edge-distance guarantee below is unsound
+    # (mercator distance on the cut map overestimates ground distance for
+    # paths crossing the seam). y never wraps (mercator clamps at the
+    # poles). dropDuplicates guards tiny grids (n <= 3) where the wrap
+    # aliases neighbor cells.
     offs = F.array([F.lit(d) for d in (-1, 0, 1)])
     qn = (
         q.withColumn("dx", F.explode(offs))
         .withColumn("dy", F.explode(offs))
-        .withColumn("gx", F.col("qgx") + F.col("dx"))
+        .withColumn("gx", ((F.col("qgx") + F.col("dx")) % n + n) % n)
         .withColumn("gy", F.col("qgy") + F.col("dy"))
         .drop("dx", "dy")
+        .dropDuplicates(["query_id", "gx", "gy"])
     )
     cand = p.join(F.broadcast(qn), ["gx", "gy"])
     cand = cand.withColumn(

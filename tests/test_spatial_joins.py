@@ -122,6 +122,28 @@ def test_knn_cell_pruned_exact_or_flagged(spark, corpus):
     assert covered == {r.query_id for r in queries.collect()}
 
 
+def test_knn_exact_wraps_antimeridian(spark):
+    """Regression: a query near lon=+-180 must see closer points on the
+    other side of the seam (3x3 cell neighborhood wraps in x), and the
+    exactness guarantee must not falsely certify a seam-blind result."""
+    from cov_tiles_spark.spatial.knn import knn_exact
+
+    pts = [
+        (1, 179.95, 10.0),    # 6 km east across the seam from the query
+        (2, -179.0, 10.0),    # ~110 km east
+        (3, -170.0, 10.0),    # far
+        (4, 179.0, 10.0),     # ~116 km west (other side)
+        (5, 170.0, 10.0),     # far
+    ]
+    points = spark.createDataFrame(pts, "image_id long, lon double, lat double")
+    queries = spark.createDataFrame(
+        [(0, -179.99, 10.0)], "query_id long, lon double, lat double"
+    )
+    res = knn_exact(points, queries, k=3, bits=5).collect()
+    got = [r.point_id for r in sorted(res, key=lambda r: r.rank)]
+    assert got == [1, 2, 4], got
+
+
 def test_pip_join_broadcast_matches_cogroup(spark, corpus):
     from cov_tiles_spark.spatial.pip import pip_join_broadcast
 
