@@ -15,6 +15,7 @@ the same web-mercator math on both sides.
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -431,26 +432,34 @@ def q_tile_feature_counts(spark, sf_dir):
     return allz.groupBy("z", "x", "y").agg(F.count("*").alias("n_features")).orderBy("z", "x", "y")
 
 
-def q_tile_encode(spark, sf_dir):
-    """Flagship: events-derived points -> COVT tile payloads at z2/z4/z6
-    (groupBy(z,x,y).applyInPandas encode; §3.1 lifecycle). Payload bytes
-    are engine-specific -> rows-only driver check; full decode-equality is
-    asserted in pytest."""
-    from cov_tiles_spark.pipeline.materialize import materialize_tiles
-
+def _events_images(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    imgs = e.select(
+    return e.select(
         F.concat(F.lit("img-"), F.lpad(F.col("event_id").cast("string"), 12, "0")).alias("image_id"),
         F.col("event_type").alias("caption"),
         F.lit("raw").alias("fmt"),
         F.lit(32).alias("w"),
         F.lit(32).alias("h"),
-        F.xxhash64("event_id").alias("phash"),
+        # portable arithmetic phash (the SQL twin must reproduce it)
+        (F.col("event_id") * 31 + 7).alias("phash"),
         _lon(F.col("event_id")).alias("lon"),
         _lat(F.col("event_id")).alias("lat"),
     )
+
+
+def q_tile_encode(spark, sf_dir):
+    """Flagship: events-derived points -> COVT tile payloads at z2/z4/z6
+    (single hash(z,x,y) exchange + sorted-stream mapInPandas encode; §3.1
+    lifecycle) -> decoded back to the exploded feature table. The DuckDB
+    twin computes the same feature table directly from events, so a value
+    hash match proves the engine's encode->decode roundtrip is lossless
+    on every tile — a stronger check than comparing engine-specific
+    payload bytes."""
+    from cov_tiles_spark.pipeline.materialize import decode_tiles, materialize_tiles
+
+    imgs = _events_images(spark, sf_dir)
     tiles = materialize_tiles(imgs, [2, 4, 6], with_mvt_baseline=False)
-    return tiles.select("z", "x", "y", "num_features", "payload_bytes").orderBy("z", "x", "y")
+    return decode_tiles(tiles).orderBy("z", "x", "y", "feature_id")
 
 
 def q_raster_cells(spark, sf_dir):
@@ -655,6 +664,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _LON_E = _LON_SQL.format(k="event_id")
 _LAT_E = _LAT_SQL.format(k="event_id")
+# committed independent-oracle parquet (scripts/build_oracles.py), pinned
+# to the driver gate's sf0.01 data
+_ORACLE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "oracles", "sf0.01"
+)
 _MX_E = _MX_SQL.format(lon=_LON_E)
 _MY_E = _MY_SQL.format(lat=_LAT_E)
 
@@ -879,6 +893,22 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             GROUP BY user_id ORDER BY user_id
         """,
+        "q_tile_encode": f"""
+            WITH pts AS (
+              SELECT event_id, event_type, {_MX_E} AS mx, {_MY_E} AS my FROM events),
+            a AS (
+              SELECT z, event_id, event_type, mx, my,
+                     cast(least(pow(2, z) - 1, greatest(0, floor(mx * pow(2, z)))) as int) AS x,
+                     cast(least(pow(2, z) - 1, greatest(0, floor(my * pow(2, z)))) as int) AS y
+              FROM pts CROSS JOIN (SELECT unnest([2, 4, 6]) AS z))
+            SELECT cast(z as int) AS z, x, y, event_id AS feature_id,
+                   cast(floor((mx * pow(2, z) - x) * {_EXTENT}) as int) AS local_x,
+                   cast(floor((my * pow(2, z) - y) * {_EXTENT}) as int) AS local_y,
+                   event_type AS caption, 'raw' AS fmt,
+                   cast(32 as bigint) AS w, cast(32 as bigint) AS h,
+                   (event_id * 31 + 7) AS phash
+            FROM a ORDER BY z, x, y, feature_id
+        """,
         "q_dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
                    count(*) AS n_copies
@@ -929,10 +959,37 @@ def oracle_sql() -> dict[str, str]:
                    vec_id
             FROM scored ORDER BY c DESC, vec_id LIMIT 10
         """,
-        # q_hilbert_cells / q_tile_encode / q_minhash_dedup / q_simhash_dedup /
-        # q_embedding_near_dups / q_doc_fingerprint:
-        # intentionally omitted (pandas-UDF signatures or engine-specific
-        # payloads -> rows-only check; pytest covers exactness).
+        # The five queries below have pandas-UDF kernels no ANSI SQL can
+        # express; their oracles are committed parquet tables produced by
+        # the independent single-node implementation in
+        # scripts/build_oracles.py (plain loops/per-row numpy, no Spark,
+        # no cov_tiles_spark imports) over the sf0.01 gate data — the
+        # same golden-expected-output discipline as the codec fixtures.
+        "q_hilbert_cells": f"""
+            SELECT cell, n_points
+            FROM read_parquet('{_ORACLE_DIR}/q_hilbert_cells.parquet')
+            ORDER BY cell
+        """,
+        "q_doc_fingerprint": f"""
+            SELECT doc_id, fp
+            FROM read_parquet('{_ORACLE_DIR}/q_doc_fingerprint.parquet')
+            ORDER BY doc_id
+        """,
+        "q_minhash_dedup": f"""
+            SELECT id_a, id_b, jaccard_est
+            FROM read_parquet('{_ORACLE_DIR}/q_minhash_dedup.parquet')
+            ORDER BY id_a, id_b
+        """,
+        "q_simhash_dedup": f"""
+            SELECT id_a, id_b, hamming
+            FROM read_parquet('{_ORACLE_DIR}/q_simhash_dedup.parquet')
+            ORDER BY id_a, id_b
+        """,
+        "q_embedding_near_dups": f"""
+            SELECT id_a, id_b
+            FROM read_parquet('{_ORACLE_DIR}/q_embedding_near_dups.parquet')
+            ORDER BY id_a, id_b
+        """,
     }
 
 

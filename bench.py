@@ -53,23 +53,12 @@ def main() -> None:
 
     # flagship detail: tiles/sec + compression ratio per zoom
     t0 = time.time()
-    tiles_df = qmap["q_tile_encode"](spark, sf_dir)
     from pyspark.sql import functions as F
 
     from cov_tiles_spark.pipeline.materialize import materialize_tiles
 
     # rebuild with the MVT baseline for the ratio numbers
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    imgs = e.select(
-        F.concat(F.lit("img-"), F.lpad(F.col("event_id").cast("string"), 12, "0")).alias("image_id"),
-        F.col("event_type").alias("caption"),
-        F.lit("raw").alias("fmt"),
-        F.lit(32).alias("w"),
-        F.lit(32).alias("h"),
-        F.xxhash64("event_id").alias("phash"),
-        (((F.col("event_id") * 9973) % 3600) / 10.0 - 180.0 + 0.05).alias("lon"),
-        (((F.col("event_id") * 7919) % 1600) / 10.0 - 80.0 + 0.05).alias("lat"),
-    )
+    imgs = entry._events_images(spark, sf_dir)
     stats = (
         materialize_tiles(imgs, [2, 4, 6], with_mvt_baseline=True)
         .groupBy("z")

@@ -191,6 +191,59 @@ def mvt_to_covt(mvt_bytes: bytes, allow_ice: bool = True) -> tuple[bytes, int, i
     return encode_tile(inputs, allow_ice=allow_ice), len(inputs), n_features
 
 
+def mvt_to_genb(mvt_bytes: bytes) -> tuple[bytes, dict, int, int]:
+    """One tile: MVT bytes -> (gen-B COVT bytes, TileJSON dict, n_layers,
+    n_features). Gen-B has no localized dictionaries (the reference
+    converter throws, CovtConverter.java:358-360), so ``name:*`` keys
+    become independent dictionary columns, exactly as the converter's
+    ``allowLocalizedStringDictionary=false`` path does."""
+    from cov_tiles_spark.covt.genb import encode_tile_genb
+
+    layers = decode_mvt(mvt_bytes)
+    inputs = []
+    n_features = 0
+    for lay in layers:
+        if not lay.features:
+            continue
+        ids = (
+            np.asarray([f.id for f in lay.features], dtype=np.int64)
+            if all(f.id is not None for f in lay.features)
+            else None
+        )
+        props, localized = _properties_from_mvt(lay.features)
+        for group in localized.values():
+            props.update(group)
+        inputs.append(
+            LayerInput(
+                name=lay.name,
+                geometry=_geometry_from_mvt(lay.features),
+                ids=ids,
+                properties=props,
+                extent=lay.extent,
+            )
+        )
+        n_features += len(lay.features)
+    payload, tilejson = encode_tile_genb(
+        inputs, optimize_metadata=True, geometry_encoding="best"
+    )
+    return payload, tilejson, len(inputs), n_features
+
+
+def verify_genb_roundtrip(
+    payload: bytes, tilejson: dict, mvt_layers: list[MvtLayer]
+) -> bool:
+    """Gen-B round-trip oracle: decode our gen-B tile and compare
+    feature-for-feature with the MVT decode (same rule as
+    ``verify_roundtrip``)."""
+    from cov_tiles_spark.covt.genb import decode_tile_genb
+
+    try:
+        decoded = decode_tile_genb(payload, tilejson)
+    except Exception:
+        return False
+    return _features_match(decoded, mvt_layers)
+
+
 def verify_roundtrip(covt_bytes: bytes, mvt_layers: list[MvtLayer]) -> bool:
     """Reference round-trip oracle: our decode of our COVT must reproduce
     the MVT decode feature-for-feature (geometry exact, properties equal
@@ -199,6 +252,10 @@ def verify_roundtrip(covt_bytes: bytes, mvt_layers: list[MvtLayer]) -> bool:
         decoded = decode_covt(covt_bytes)
     except Exception:
         return False
+    return _features_match(decoded, mvt_layers)
+
+
+def _features_match(decoded, mvt_layers: list[MvtLayer]) -> bool:
     mvt_map = {l.name: l for l in mvt_layers if l.features}
     if set(decoded) != set(mvt_map):
         return False

@@ -1,0 +1,281 @@
+"""Independent single-node oracle tables for the driver's correctness gate.
+
+For queries whose kernels are pandas-UDF-backed (Hilbert cells, rolling
+fingerprints, MinHash/SimHash/embedding LSH), ANSI SQL cannot express the
+kernel directly. Instead this script computes the *expected* output with
+an independent single-node implementation (pure python / plain numpy —
+no imports from cov_tiles_spark, no Spark) over the sf0.01 testdata, and
+writes it to ``oracles/sf0.01/<query>.parquet``. The DuckDB twin in
+``__spark_entry__.oracle_sql()`` selects from that parquet, so the driver
+still performs a full rows+schema+values comparison against a second
+implementation — the same golden-fixture discipline used for the codec.
+
+Regenerate with:  python scripts/build_oracles.py [sf_dir] [out_dir]
+
+Determinism: the testdata is driver-generated and read-only; every kernel
+below is seeded/deterministic, so the parquet files are reproducible
+byte-for-byte from a clean checkout.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+MERSENNE = (1 << 61) - 1
+FNV_BASE = 1099511628211
+MASK64 = (1 << 64) - 1
+
+
+# ---------------------------------------------------------------- inputs
+
+def load(sf_dir: str, name: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/{name}.parquet")
+
+
+def planted_docs(sf_dir: str) -> pd.DataFrame:
+    d = load(sf_dir, "documents")[["doc_id", "text"]]
+    p = d.copy()
+    p["doc_id"] = p["doc_id"] + 1_000_000
+    return pd.concat([d, p], ignore_index=True)
+
+
+def planted_embs(sf_dir: str) -> pd.DataFrame:
+    e = load(sf_dir, "embeddings")[["vec_id", "embedding"]]
+    p = e.copy()
+    p["vec_id"] = p["vec_id"] + 1_000_000
+    return pd.concat([e, p], ignore_index=True)
+
+
+# ------------------------------------------------------------- kernels
+# Each is written from the operator's *definition*, not its code: plain
+# loops / per-row numpy, no whole-batch reduceat/factorize machinery.
+
+def hilbert_xy2d_scalar(bits: int, x: int, y: int) -> int:
+    """Classic iterative Hilbert xy->d (public-domain Wikipedia form)."""
+    rx = ry = 0
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def q_hilbert_cells(sf_dir: str) -> pd.DataFrame:
+    ev = load(sf_dir, "events")
+    k = ev["event_id"].to_numpy(np.int64)
+    lon = ((k * 9973) % 3600) / 10.0 - 180.0 + 0.05
+    lat = ((k * 7919) % 1600) / 10.0 - 80.0 + 0.05
+    mx = (lon + 180.0) / 360.0
+    my = 0.5 - np.log(np.tan(math.pi / 4.0 + np.radians(lat) / 2.0)) / (2.0 * math.pi)
+    n = 1 << 13
+    gx = np.clip((mx * n).astype(np.int64), 0, n - 1)
+    gy = np.clip((my * n).astype(np.int64), 0, n - 1)
+    cells = [hilbert_xy2d_scalar(13, int(a), int(b)) for a, b in zip(gx, gy)]
+    out = (
+        pd.Series(cells, name="cell", dtype="int64")
+        .value_counts()
+        .rename_axis("cell")
+        .reset_index(name="n_points")
+        .sort_values("cell", ignore_index=True)
+    )
+    out["n_points"] = out["n_points"].astype("int64")
+    return out
+
+
+def fingerprint_scalar(text: str) -> int:
+    """Horner polynomial hash mod 2^64 over lowercased-alnum utf-8 bytes."""
+    h = 0
+    for b in "".join(ch for ch in text.lower() if ch.isalnum()).encode("utf-8"):
+        h = (h * FNV_BASE + b) & MASK64
+    # two's-complement int64 view
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def q_doc_fingerprint(sf_dir: str) -> pd.DataFrame:
+    d = load(sf_dir, "documents")
+    return pd.DataFrame(
+        {
+            "doc_id": d["doc_id"].astype("int64"),
+            "fp": [fingerprint_scalar(t) for t in d["text"]],
+        }
+    ).sort_values("doc_id", ignore_index=True)
+
+
+def shingle_set(text: str, shingle: int = 5) -> np.ndarray:
+    b = text.encode("utf-8")
+    if len(b) < shingle:
+        return np.zeros(1, dtype=np.uint64)
+    hs = set()
+    for i in range(len(b) - shingle + 1):
+        h = 0
+        for c in b[i : i + shingle]:
+            h = (h * FNV_BASE + c) & MASK64
+        hs.add(h)
+    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+
+
+def q_minhash_dedup(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
+    corpus = planted_docs(sf_dir)
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, MERSENNE, 64, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, MERSENNE, 64, dtype=np.int64).astype(np.uint64)
+    ids = corpus["doc_id"].to_numpy(np.int64)
+    sigs = np.empty((len(corpus), 64), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for i, text in enumerate(corpus["text"]):
+            h = shingle_set(text)
+            vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(MERSENNE)
+            sigs[i] = vals.min(axis=1).astype(np.int64)
+    # banded LSH: threshold 0.9 -> 8 rows x 8 bands (operator band rule);
+    # candidates = pairs agreeing exactly on >= 1 band, buckets > 1024
+    # members dropped (the operator's cap — unreachable at this corpus
+    # size, applied anyway for definitional parity)
+    rows, bands = 8, 8
+    buckets: dict[tuple, list[int]] = {}
+    for i in range(len(corpus)):
+        for bi in range(bands):
+            key = (bi, tuple(sigs[i, bi * rows : (bi + 1) * rows]))
+            buckets.setdefault(key, []).append(i)
+    cand = set()
+    for members in buckets.values():
+        if len(members) > 1024:
+            continue
+        for ai in range(len(members)):
+            for bi_ in range(ai + 1, len(members)):
+                x, y = members[ai], members[bi_]
+                if ids[x] == ids[y]:
+                    continue
+                cand.add((x, y) if ids[x] < ids[y] else (y, x))
+    out = []
+    for x, y in cand:
+        est = float((sigs[x] == sigs[y]).sum()) / 64.0
+        if est >= threshold:
+            out.append((int(ids[x]), int(ids[y]), est))
+    return pd.DataFrame(
+        out, columns=["id_a", "id_b", "jaccard_est"]
+    ).sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+def fnv1a(tok: str) -> int:
+    h = 0xCBF29CE484222325
+    for c in tok.encode("utf-8"):
+        h = ((h ^ c) * 0x100000001B3) & MASK64
+    return h
+
+
+def simhash_scalar(text: str) -> int:
+    toks = text.split()
+    if not toks:
+        return 0
+    sums = [0] * 64
+    for t in toks:
+        h = fnv1a(t)
+        for j in range(64):
+            sums[j] += 1 if (h >> j) & 1 else -1
+    w = 0
+    for j in range(64):
+        if sums[j] > 0:
+            w |= 1 << j
+    return w - (1 << 64) if w >= (1 << 63) else w
+
+
+def q_simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """Brute-force all-pairs Hamming (the banded operator has *exact*
+    recall for <= max_hamming by pigeonhole, so its output equals this)."""
+    corpus = planted_docs(sf_dir)
+    ids = corpus["doc_id"].to_numpy(np.int64)
+    sh = np.array([simhash_scalar(t) for t in corpus["text"]], dtype=np.int64)
+    x = sh.view(np.uint64)
+    out = []
+    for i in range(len(ids)):
+        d = np.bitwise_xor(x[i], x[i + 1 :])
+        ham = np.array([bin(int(v)).count("1") for v in d])
+        for j in np.flatnonzero(ham <= max_hamming):
+            pa, pb = int(ids[i]), int(ids[i + 1 + j])
+            if pa == pb:
+                continue
+            lo, hi = (pa, pb) if pa < pb else (pb, pa)
+            out.append((lo, hi, int(ham[j])))
+    return (
+        pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+        .drop_duplicates(["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+
+
+def q_embedding_near_dups(sf_dir: str, threshold: float = 0.999) -> pd.DataFrame:
+    corpus = planted_embs(sf_dir)
+    ids = corpus["vec_id"].to_numpy(np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in corpus["embedding"]])
+    rng = np.random.default_rng(42)
+    planes = rng.normal(size=(16, 64)).astype(np.float64)
+    bits = (mat @ planes.T) > 0
+    sig = np.zeros(len(ids), dtype=np.int64)
+    for j in range(16):
+        sig |= bits[:, j].astype(np.int64) << j
+    norms = np.linalg.norm(mat, axis=1)
+    out = []
+    order = np.argsort(sig, kind="stable")
+    s = 0
+    while s < len(order):
+        e = s
+        while e < len(order) and sig[order[e]] == sig[order[s]]:
+            e += 1
+        members = order[s:e]
+        if len(members) <= 1024:
+            for ai in range(len(members)):
+                for bi in range(ai + 1, len(members)):
+                    x, y = int(members[ai]), int(members[bi])
+                    cos = float(mat[x] @ mat[y] / (norms[x] * norms[y]))
+                    if cos >= threshold and ids[x] != ids[y]:
+                        lo, hi = sorted((int(ids[x]), int(ids[y])))
+                        out.append((lo, hi))
+        s = e
+    return (
+        pd.DataFrame(sorted(set(out)), columns=["id_a", "id_b"])
+        .astype("int64")
+    )
+
+
+ORACLES = {
+    "q_hilbert_cells": q_hilbert_cells,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_minhash_dedup": q_minhash_dedup,
+    "q_simhash_dedup": q_simhash_dedup,
+    "q_embedding_near_dups": q_embedding_near_dups,
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out_dir = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "oracles", f"sf{sf}")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for name, fn in ORACLES.items():
+        df = fn(sf_dir)
+        path = os.path.join(out_dir, f"{name}.parquet")
+        df.to_parquet(path, index=False)
+        print(f"{name}: {len(df)} rows -> {path}")
+
+
+if __name__ == "__main__":
+    main()
