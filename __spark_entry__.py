@@ -462,6 +462,22 @@ def q_tile_encode(spark, sf_dir):
     return decode_tiles(tiles).orderBy("z", "x", "y", "feature_id")
 
 
+def q_tile_encode_genb(spark, sf_dir):
+    """Same encode->decode roundtrip through the gen-B wire format
+    (covt/genb.py — the reference's current CovtParser/CovtConverter
+    generation). Shares q_tile_encode's SQL twin: the decoded feature
+    table must be identical regardless of wire format."""
+    from cov_tiles_spark.pipeline.materialize import decode_tiles, materialize_tiles
+
+    imgs = _events_images(spark, sf_dir)
+    tiles = materialize_tiles(
+        imgs, [2, 4, 6], with_mvt_baseline=False, wire_format="genb"
+    )
+    return decode_tiles(tiles, wire_format="genb").orderBy(
+        "z", "x", "y", "feature_id"
+    )
+
+
 def q_raster_cells(spark, sf_dir):
     """Raster-grid aggregation: per (tile, 16x16 cell) point counts at z4
     — the SQL-checkable half of the raster↔vector materialization
@@ -648,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_cell": q_knn_cell,
         "q_tile_feature_counts": q_tile_feature_counts,
         "q_tile_encode": q_tile_encode,
+        "q_tile_encode_genb": q_tile_encode_genb,
         "q_raster_cells": q_raster_cells,
         "q_sessionize": q_sessionize,
         "q_dedup_exact": q_dedup_exact,
@@ -683,7 +700,7 @@ def oracle_sql() -> dict[str, str]:
         f"cast(least({n - 1}, greatest(0, floor({_MX_E} * {n}))) as int) as tile_x, "
         f"cast(least({n - 1}, greatest(0, floor({_MY_E} * {n}))) as int) as tile_y"
     )
-    return {
+    oracles = {
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -991,6 +1008,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
     }
+    # gen-B roundtrip must reproduce the identical feature table
+    oracles["q_tile_encode_genb"] = oracles["q_tile_encode"]
+    return oracles
 
 
 def _lang_id_sql() -> str:

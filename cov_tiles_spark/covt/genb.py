@@ -356,7 +356,8 @@ def encode_tile_genb(
                 raise ValueError(f"unsupported gen-B property type {prop.data_type}")
         ordered = groups["bool"] + groups["long"] + groups["float"] + groups["string"]
 
-        n_columns = 1 + (1 if layer.ids is not None else 0) + len(ordered)
+        n_localized = sum(len(g) for g in (layer.localized or {}).values())
+        n_columns = 1 + (1 if layer.ids is not None else 0) + len(ordered) + n_localized
         header = bytes([(VERSION << 1) | (1 if optimize_metadata else 0)])
         if optimize_metadata:
             header += _varint(layer_id)
@@ -467,6 +468,60 @@ def encode_tile_genb(
                 fields[name] = "String"
             column_id += 1
 
+        # LOCALIZED_DICTIONARY groups (format-reserved ColumnType 2; the
+        # reference parser never implemented it — `CovtParser.java:340`
+        # TODO, converter throws `CovtConverter.java:358-360` — so this is
+        # our documented extension): each locale is its own column; the
+        # group leader carries LENGTH + DICTIONARY (shared, first-
+        # occurrence across locales); followers end with an EMPTY
+        # DICTIONARY marker stream (numValues=0, byteLength=0), which
+        # keeps the parser's "break at DICTIONARY" state machine intact.
+        for base, group in (layer.localized or {}).items():
+            seen: dict[str, int] = {}
+            encoded_members = []
+            for prop_name, prop in group.items():
+                present = (
+                    prop.present.astype(bool)
+                    if prop.present is not None
+                    else np.ones(n, dtype=bool)
+                )
+                n_present = int(present.sum())
+                vals = np.asarray(prop.values, dtype=object)
+                sparse = vals if len(vals) == n_present else vals[present]
+                idx = np.empty(len(sparse), dtype=np.int64)
+                for i, s in enumerate(sparse):
+                    j = seen.get(s)
+                    if j is None:
+                        j = len(seen)
+                        seen[s] = j
+                    idx[i] = j
+                encoded_members.append(
+                    (prop_name, encode_byte_rle(pack_bitset(present, n)),
+                     encode_int_rle(idx, signed=False), n_present)
+                )
+            dict_raw = [s.encode("utf-8") for s in seen]
+            len_bytes = encode_int_rle(
+                np.array([len(r) for r in dict_raw], np.int64), signed=False
+            )
+            dict_bytes = b"".join(dict_raw)
+            for k, (prop_name, present_bytes, data, n_present) in enumerate(encoded_members):
+                meta_parts.append(
+                    col_header(column_id, prop_name, GDataType.STRING,
+                               GColumnType.LOCALIZED_DICTIONARY, False)
+                )
+                meta_parts.append(_stream_meta(StreamType.DATA, StreamEncoding.RLE, n_present, data))
+                data_parts.append(present_bytes)
+                data_parts.append(data)
+                if k == 0:  # leader carries the shared dictionary
+                    meta_parts.append(_stream_meta(StreamType.LENGTH, StreamEncoding.RLE, len(dict_raw), len_bytes))
+                    meta_parts.append(_stream_meta(StreamType.DICTIONARY, StreamEncoding.PLAIN, len(dict_raw), dict_bytes))
+                    data_parts.append(len_bytes)
+                    data_parts.append(dict_bytes)
+                else:  # follower: empty marker, shares the leader's dictionary
+                    meta_parts.append(_stream_meta(StreamType.DICTIONARY, StreamEncoding.PLAIN, 0, b""))
+                fields[prop_name] = "String"
+                column_id += 1
+
         out.append(b"".join(meta_parts))
         out.extend(data_parts)
         vector_layers.append({"id": layer.name, "fields": fields})
@@ -564,6 +619,7 @@ def decode_tile_genb(buf: bytes, tilejson: dict | None = None) -> dict[str, Laye
 
         # ---- data section
         ids = None
+        shared_dict: list[str] | None = None
         geometry = None
         properties: dict[str, PropertyColumn] = {}
         n_bytes = (n_features + 7) // 8
@@ -586,6 +642,11 @@ def decode_tile_genb(buf: bytes, tilejson: dict | None = None) -> dict[str, Laye
                 geometry, pos = _decode_geometry(b, pos, ctype, streams, extent)
             else:
                 prop, pos = _decode_property(b, pos, dtype, ctype, streams, n_features, n_bytes)
+                if ctype == GColumnType.LOCALIZED_DICTIONARY:
+                    if prop.dictionary is not None:
+                        shared_dict = prop.dictionary  # group leader
+                    else:
+                        prop.dictionary = shared_dict  # follower shares it
                 properties[name] = prop
             col_metas.append(
                 ColumnMetadata(
@@ -739,11 +800,23 @@ def _decode_property(
             pos + nv * 4,
         )
     if dtype == GDataType.STRING:
-        if ctype != GColumnType.DICTIONARY:
+        if ctype not in (GColumnType.DICTIONARY, GColumnType.LOCALIZED_DICTIONARY):
             raise ValueError("only dictionary strings supported (parser parity, :342)")
         _, nv_data, _ = meta[StreamType.DATA]
         _, nv_dict, _ = meta[StreamType.DICTIONARY]
         idx, pos = decode_int_rle(b, nv_data, pos, signed=False)
+        if nv_dict == 0:
+            # localized follower: empty marker, shares the group leader's
+            # dictionary (attached by the caller)
+            return (
+                PropertyColumn(
+                    data_type=ColumnDataType.STRING,
+                    present=present,
+                    data=idx.astype(np.int64),
+                    dictionary=None,
+                ),
+                pos,
+            )
         lengths, pos = decode_int_rle(b, nv_dict, pos, signed=False)
         words: list[str] = []
         for ln in lengths.astype(np.int64):

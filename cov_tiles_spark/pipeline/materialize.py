@@ -109,6 +109,7 @@ def _encode_tile_rows(
     h: np.ndarray,
     phash: np.ndarray,
     with_mvt_baseline: bool,
+    wire_format: str = "gena",
 ) -> dict:
     """Core per-tile kernel over numpy arrays → one payload row (dict)."""
     # sort ascending by id (reference sorts building/poi/place layers by
@@ -139,7 +140,13 @@ def _encode_tile_rows(
         name="images", geometry=geom, ids=ids, properties=props,
         extent=DEFAULT_EXTENT,
     )
-    payload = encode_tile([layer])
+    if wire_format == "genb":
+        # self-describing (non-optimized) gen-B: no TileJSON sidecar needed
+        from cov_tiles_spark.covt.genb import encode_tile_genb
+
+        payload, _ = encode_tile_genb([layer], optimize_metadata=False)
+    else:
+        payload = encode_tile([layer])
 
     mvt_bytes = 0
     if with_mvt_baseline:
@@ -197,7 +204,8 @@ def _concat_arrays(a: dict, b: dict) -> dict:
 
 
 def _encode_tiles_in(
-    arrs: dict, end: int, with_mvt: bool, out: list, cap: int | None = None
+    arrs: dict, end: int, with_mvt: bool, out: list, cap: int | None = None,
+    wire_format: str = "gena",
 ) -> None:
     """Encode every tile in arrs[:end] (tile boundaries from sorted keys).
 
@@ -222,12 +230,14 @@ def _encode_tiles_in(
                 arrs["ids"][s:e], arrs["local_x"][s:e], arrs["local_y"][s:e],
                 arrs["caption"][s:e], arrs["fmt"][s:e],
                 arrs["w"][s:e], arrs["h"][s:e], arrs["phash"][s:e],
-                with_mvt,
+                with_mvt, wire_format,
             )
         )
 
 
-def _make_encode_stream(with_mvt_baseline: bool, max_features: int = 1 << 62):
+def _make_encode_stream(
+    with_mvt_baseline: bool, max_features: int = 1 << 62, wire_format: str = "gena"
+):
     """Streaming partition encoder with an inline per-tile cap.
 
     Input batches arrive sorted by (z, x, y, sample_key); complete tiles
@@ -279,7 +289,8 @@ def _make_encode_stream(with_mvt_baseline: bool, max_features: int = 1 << 62):
                 if start == n:
                     continue  # whole batch belonged to the open tile
                 # the open tile is now complete -> encode it
-                _encode_tiles_in(carry, carry["z"].shape[0], with_mvt_baseline, out)
+                _encode_tiles_in(carry, carry["z"].shape[0], with_mvt_baseline, out,
+                                 wire_format=wire_format)
                 carry = None
                 cur_key = None
                 saturated = False
@@ -295,7 +306,8 @@ def _make_encode_stream(with_mvt_baseline: bool, max_features: int = 1 << 62):
             split = m - int(last_mask[::-1].cumprod().sum())
             if split > 0:
                 _encode_tiles_in(
-                    rest, split, with_mvt_baseline, out, cap=max_features
+                    rest, split, with_mvt_baseline, out, cap=max_features,
+                    wire_format=wire_format,
                 )
             cur_key = last_key
             carry = {k: v[split : split + max_features] for k, v in rest.items()}
@@ -304,7 +316,8 @@ def _make_encode_stream(with_mvt_baseline: bool, max_features: int = 1 << 62):
                 yield pd.DataFrame(out)
         if carry is not None and carry["z"].shape[0]:
             out = []
-            _encode_tiles_in(carry, carry["z"].shape[0], with_mvt_baseline, out)
+            _encode_tiles_in(carry, carry["z"].shape[0], with_mvt_baseline, out,
+                             wire_format=wire_format)
             yield pd.DataFrame(out)
 
     return encode_stream
@@ -324,8 +337,13 @@ def materialize_tiles(
     extent: int = DEFAULT_EXTENT,
     max_features_per_tile: int = 20_000,
     with_mvt_baseline: bool = True,
+    wire_format: str = "gena",
 ) -> DataFrame:
-    """records → per-tile COVT payloads (+ MVT-baseline sizes)."""
+    """records → per-tile COVT payloads (+ MVT-baseline sizes).
+
+    ``wire_format``: "gena" (fixture-conformant self-describing format) or
+    "genb" (current format, covt/genb.py; emitted self-describing so no
+    TileJSON sidecar travels with the rows)."""
     if not zooms:  # full resume: nothing left to materialize
         return images.sparkSession.createDataFrame([], PAYLOAD_SCHEMA)
     cols = ["image_id", "caption", "fmt", "w", "h", "phash", "lon", "lat"]
@@ -353,7 +371,7 @@ def materialize_tiles(
         "z", "x", "y", "_sk", "image_id"
     )
     return part.select(*_STREAM_COLS).mapInPandas(
-        _make_encode_stream(with_mvt_baseline, max_features_per_tile),
+        _make_encode_stream(with_mvt_baseline, max_features_per_tile, wire_format),
         schema=PAYLOAD_SCHEMA,
     )
 
@@ -364,14 +382,20 @@ DECODE_SCHEMA = (
 )
 
 
-def decode_tiles(payloads: DataFrame) -> DataFrame:
+def decode_tiles(payloads: DataFrame, wire_format: str = "gena") -> DataFrame:
     """Inverse: payload rows → exploded feature rows (verification join)."""
 
     def _decode(batches):
+        if wire_format == "genb":
+            from cov_tiles_spark.covt.genb import decode_tile_genb
+
+            decode = decode_tile_genb
+        else:
+            decode = decode_covt
         for pdf in batches:
             outs = []
             for _, row in pdf.iterrows():
-                layers = decode_covt(bytes(row["payload"]))
+                layers = decode(bytes(row["payload"]))
                 lay = layers["images"]
                 n = lay.metadata.num_features
                 vb = lay.geometry.vertex_buffer

@@ -32,8 +32,9 @@ from cov_tiles_spark.covt.mvt import MvtLayer, decode_mvt
 
 TRANSCODE_SCHEMA = (
     "path string, z int, x int, y int, mvt_bytes long, covt_bytes long, "
-    "gzip_mvt_bytes long, gzip_covt_bytes long, n_layers int, "
-    "n_features long, verified boolean, payload binary"
+    "genb_bytes long, gzip_mvt_bytes long, gzip_covt_bytes long, "
+    "n_layers int, n_features long, verified boolean, "
+    "genb_verified boolean, payload binary"
 )
 
 _ZXY_RE = re.compile(r"(\d+)[_\-/](\d+)[_\-/](\d+)\.(mvt|pbf)$")
@@ -193,10 +194,10 @@ def mvt_to_covt(mvt_bytes: bytes, allow_ice: bool = True) -> tuple[bytes, int, i
 
 def mvt_to_genb(mvt_bytes: bytes) -> tuple[bytes, dict, int, int]:
     """One tile: MVT bytes -> (gen-B COVT bytes, TileJSON dict, n_layers,
-    n_features). Gen-B has no localized dictionaries (the reference
-    converter throws, CovtConverter.java:358-360), so ``name:*`` keys
-    become independent dictionary columns, exactly as the converter's
-    ``allowLocalizedStringDictionary=false`` path does."""
+    n_features). ``name:*`` groups use the format-reserved
+    LOCALIZED_DICTIONARY column type (shared dictionary across locales —
+    our documented extension; the reference converter throws on it,
+    CovtConverter.java:358-360)."""
     from cov_tiles_spark.covt.genb import encode_tile_genb
 
     layers = decode_mvt(mvt_bytes)
@@ -211,14 +212,13 @@ def mvt_to_genb(mvt_bytes: bytes) -> tuple[bytes, dict, int, int]:
             else None
         )
         props, localized = _properties_from_mvt(lay.features)
-        for group in localized.values():
-            props.update(group)
         inputs.append(
             LayerInput(
                 name=lay.name,
                 geometry=_geometry_from_mvt(lay.features),
                 ids=ids,
                 properties=props,
+                localized=localized or None,
                 extent=lay.extent,
             )
         )
@@ -289,18 +289,23 @@ def _transcode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             m = _ZXY_RE.search(row["path"])
             z, x, y = (int(m.group(i)) for i in (1, 2, 3)) if m else (-1, -1, -1)
             covt, n_layers, n_features = mvt_to_covt(raw)
-            ok = verify_roundtrip(covt, decode_mvt(raw))
+            mvt_layers = decode_mvt(raw)
+            ok = verify_roundtrip(covt, mvt_layers)
+            genb, tilejson, _, _ = mvt_to_genb(raw)
+            genb_ok = verify_genb_roundtrip(genb, tilejson, mvt_layers)
             rows.append(
                 {
                     "path": os.path.basename(row["path"]),
                     "z": z, "x": x, "y": y,
                     "mvt_bytes": len(raw),
                     "covt_bytes": len(covt),
+                    "genb_bytes": len(genb),
                     "gzip_mvt_bytes": len(_gzip.compress(raw, 6)),
                     "gzip_covt_bytes": len(_gzip.compress(covt, 6)),
                     "n_layers": n_layers,
                     "n_features": n_features,
                     "verified": ok,
+                    "genb_verified": genb_ok,
                     "payload": covt,
                 }
             )

@@ -186,6 +186,59 @@ def test_genb_multilayer_and_pfor_toggle():
             _assert_layer_roundtrip(layer, decoded)
 
 
+def test_genb_localized_dictionary_extension():
+    """Format-reserved LOCALIZED_DICTIONARY (ColumnType 2): locales share
+    one dictionary; followers carry an empty DICTIONARY marker so the
+    parser's break-at-DICTIONARY state machine is preserved."""
+    n = 10
+    geom = GeometryColumn(
+        geometry_types=np.full(n, GeometryType.POINT, np.uint8),
+        vertex_buffer=np.arange(2 * n, dtype=np.int32),
+    )
+    present_de = np.array([True] * 6 + [False] * 4)
+    names = np.array([f"city-{i % 3}" for i in range(n)], dtype=object)
+    names_de = np.array([f"stadt-{i % 3}" for i in range(6)], dtype=object)
+    layer = LayerInput(
+        name="place",
+        geometry=geom,
+        localized={
+            "name": {
+                "name": PropertyInput(ColumnDataType.STRING, names),
+                "name:de": PropertyInput(ColumnDataType.STRING, names_de, present_de),
+            }
+        },
+    )
+    payload, tj = encode_tile_genb([layer])
+    dec = decode_tile_genb(payload, tj)["place"]
+    got = dec.properties["name"]
+    got_de = dec.properties["name:de"]
+    assert got.dictionary is got_de.dictionary  # genuinely shared
+    assert [got.dictionary[int(i)] for i in got.data] == list(names)
+    np.testing.assert_array_equal(got_de.present, present_de)
+    assert [got_de.dictionary[int(i)] for i in got_de.data] == list(names_de)
+
+    # shared dictionary must be smaller than two independent ones when
+    # locales overlap heavily
+    shared_vals = np.array(["common-" + str(i % 4) for i in range(n)], dtype=object)
+    layer_shared = LayerInput(
+        name="place", geometry=geom,
+        localized={"name": {
+            "name": PropertyInput(ColumnDataType.STRING, shared_vals),
+            "name:en": PropertyInput(ColumnDataType.STRING, shared_vals.copy()),
+        }},
+    )
+    layer_split = LayerInput(
+        name="place", geometry=geom,
+        properties={
+            "name": PropertyInput(ColumnDataType.STRING, shared_vals),
+            "name:en": PropertyInput(ColumnDataType.STRING, shared_vals.copy()),
+        },
+    )
+    p_shared, _ = encode_tile_genb([layer_shared])
+    p_split, _ = encode_tile_genb([layer_split])
+    assert len(p_shared) < len(p_split)
+
+
 def test_pfor_exceptions_and_tail():
     rng = np.random.default_rng(11)
     v = rng.integers(0, 200, 1000).astype(np.int64)
