@@ -92,8 +92,9 @@ def encode_pfor(values: np.ndarray, zigzag: bool = False, delta: bool = False) -
     if delta:
         v = np.diff(v, prepend=np.int64(0))
     u = zigzag_encode(v) if zigzag else v.astype(np.uint64)
-    if (u > _U32).any():
-        raise ValueError("pfor streams are 32-bit (reference FastPFOR is int32)")
+    # the reference's FastPFOR is int32-only (`EncodingUtils.java:149`
+    # takes int[]); our container packs any width <= 64 — wide outliers
+    # land in the exception lanes instead of overflowing
     parts: list[bytes] = []
     n_full = (len(u) // BLOCK) * BLOCK
     for s in range(0, n_full, BLOCK):
