@@ -277,6 +277,22 @@ def q_hilbert_cells(spark, sf_dir):
     )
 
 
+def q_h3_cells(spark, sf_dir):
+    """H3-res-9-analogue hex cells (north_star: 'assigns every record to
+    H3 res-9 / S2 level-13 cells'): pointy-top axial binning with cube
+    rounding on the mercator plane (spatial/cells.py cell_h3r9). Oracle:
+    independent single-node implementation (scripts/build_oracles.py)."""
+    from cov_tiles_spark.spatial.cells import cell_h3r9
+
+    pts = _events_points(spark, sf_dir)
+    return (
+        pts.select(cell_h3r9("lon", "lat").alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_points"))
+        .orderBy("cell")
+    )
+
+
 def q_pip(spark, sf_dir):
     """Point-in-polygon vs tile-boundary squares with deterministic holes.
 
@@ -658,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_local_coords": q_tile_local_coords,
         "q_morton_cells": q_morton_cells,
         "q_hilbert_cells": q_hilbert_cells,
+        "q_h3_cells": q_h3_cells,
         "q_pip": q_pip,
         "q_pip_join": q_pip_join,
         "q_knn": q_knn,
@@ -985,6 +1002,11 @@ def oracle_sql() -> dict[str, str]:
         "q_hilbert_cells": f"""
             SELECT cell, n_points
             FROM read_parquet('{_ORACLE_DIR}/q_hilbert_cells.parquet')
+            ORDER BY cell
+        """,
+        "q_h3_cells": f"""
+            SELECT cell, n_points
+            FROM read_parquet('{_ORACLE_DIR}/q_h3_cells.parquet')
             ORDER BY cell
         """,
         "q_doc_fingerprint": f"""

@@ -96,6 +96,44 @@ def q_hilbert_cells(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def hex_cell_scalar(mx: float, my: float, edge: float) -> int:
+    """Pointy-top axial hex binning with cube rounding — plain scalar math
+    (the operator definition; see spatial/cells.py docstring for the H3
+    res-9 edge-length derivation)."""
+    q = (math.sqrt(3.0) / 3.0 * mx - my / 3.0) / edge
+    r = (2.0 / 3.0 * my) / edge
+    x, z = q, r
+    y = -x - z
+    rx, ry, rz = round(x), round(y), round(z)
+    dx, dy, dz = abs(rx - x), abs(ry - y), abs(rz - z)
+    if dx > dy and dx > dz:
+        rx = -ry - rz
+    elif dz > dy:
+        rz = -rx - ry
+    off = 1 << 24
+    return ((int(rx) + off) << 25) | (int(rz) + off)
+
+
+def q_h3_cells(sf_dir: str) -> pd.DataFrame:
+    ev = load(sf_dir, "events")
+    k = ev["event_id"].to_numpy(np.int64)
+    lon = ((k * 9973) % 3600) / 10.0 - 180.0 + 0.05
+    lat = ((k * 7919) % 1600) / 10.0 - 80.0 + 0.05
+    mx = (lon + 180.0) / 360.0
+    my = 0.5 - np.log(np.tan(math.pi / 4.0 + np.radians(lat) / 2.0)) / (2.0 * math.pi)
+    edge = 174.4 / 40_075_017.0
+    cells = [hex_cell_scalar(float(a), float(b), edge) for a, b in zip(mx, my)]
+    out = (
+        pd.Series(cells, name="cell", dtype="int64")
+        .value_counts()
+        .rename_axis("cell")
+        .reset_index(name="n_points")
+        .sort_values("cell", ignore_index=True)
+    )
+    out["n_points"] = out["n_points"].astype("int64")
+    return out
+
+
 def fingerprint_scalar(text: str) -> int:
     """Horner polynomial hash mod 2^64 over lowercased-alnum utf-8 bytes."""
     h = 0
@@ -253,6 +291,7 @@ def q_embedding_near_dups(sf_dir: str, threshold: float = 0.999) -> pd.DataFrame
 
 ORACLES = {
     "q_hilbert_cells": q_hilbert_cells,
+    "q_h3_cells": q_h3_cells,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_minhash_dedup": q_minhash_dedup,
     "q_simhash_dedup": q_simhash_dedup,
