@@ -45,6 +45,10 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     for name in headline:
+        spark.catalog.clearCache()  # isolate queries: no cross-query cached
+        # blocks competing for executor memory (q_knn's radius-prefilter
+        # cache measured 2-3x slower when sharing memory with the encode
+        # stage's leftovers)
         t0 = time.time()
         df = qmap[name](spark, sf_dir)
         n = df.count()  # force full execution

@@ -41,7 +41,6 @@ from cov_tiles_spark.covt.varint import (
 )
 
 BLOCK = 128
-_U32 = np.uint64(0xFFFFFFFF)
 
 
 def _pack_bits(vals: np.ndarray, width: int) -> bytes:
