@@ -652,6 +652,88 @@ def q_doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", fingerprint64(F.col("text")).alias("fp")).orderBy("doc_id")
 
 
+_N_IMG_INVARIANTS = 600
+
+
+def q_image_invariants(spark, sf_dir):
+    """Per-row image+caption invariants over the deterministic binary
+    corpus at the exact BASELINE.json input_hint schema
+    (image_id/bytes/w/h/fmt/caption/phash — io/synth.py images_df):
+
+    - ``payload_md5``: md5 of the stored encoded bytes — byte-for-byte
+      agreement between the distributed encoder and the oracle's
+      independent scalar encoder (raw / byte-RLE / dct40);
+    - ``caption``: byte-for-byte caption equality ("captions match
+      byte-for-byte", input_hint);
+    - ``phash`` (stored) and ``phash_dist`` (Hamming distance between the
+      stored hash and the hash recomputed from the *decoded* pixels);
+    - ``sq_err``/``n_subpx``/``psnr40_ok``: the lossy-codec invariant
+      "decoded-pixel allclose (PSNR>=40dB for lossy)" computed from the
+      exact integer squared-error sum, so psnr>=40 is the precise integer
+      inequality sq_err * 10^4 <= 255^2 * n_subpx on both engines.
+
+    Decode / re-encode / hash run vectorized inside one ``mapInPandas``
+    pass (no per-row Python at the Spark API surface; numpy kernels per
+    Arrow batch). Oracle: independent single-node scalar implementation
+    (scripts/build_oracles.py) -> committed parquet.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from cov_tiles_spark.io.synth import images_df
+
+    def _check(batches):
+        from cov_tiles_spark.operators.images import (
+            decode_image, encode_image, hamming64, phash64,
+        )
+
+        for pdf in batches:
+            n = len(pdf)
+            md5s = []
+            dists = np.empty(n, dtype=np.int32)
+            sq = np.empty(n, dtype=np.int64)
+            npx = np.empty(n, dtype=np.int64)
+            for j in range(n):
+                row = pdf.iloc[j]
+                data = bytes(row["bytes"])
+                md5s.append(hashlib.md5(data).hexdigest())
+                px = decode_image(data, int(row["w"]), int(row["h"]), row["fmt"])
+                re_ph = phash64(px)
+                dists[j] = int(hamming64(np.array([re_ph]), np.array([row["phash"]]))[0])
+                lossy = decode_image(
+                    encode_image(px, "dct40"), int(row["w"]), int(row["h"]), "dct40"
+                )
+                sq[j] = int(
+                    ((px.astype(np.int64) - lossy.astype(np.int64)) ** 2).sum()
+                )
+                npx[j] = px.size
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "fmt": pdf["fmt"],
+                    "w": pdf["w"],
+                    "h": pdf["h"],
+                    "caption": pdf["caption"],
+                    "phash": pdf["phash"],
+                    "phash_dist": dists,
+                    "payload_md5": md5s,
+                    "sq_err": sq,
+                    "n_subpx": npx,
+                    "psnr40_ok": sq * 10_000 <= 255 * 255 * npx,
+                }
+            )
+
+    imgs = images_df(spark, _N_IMG_INVARIANTS, partitions=8)
+    out_schema = (
+        "image_id string, fmt string, w int, h int, caption string, "
+        "phash long, phash_dist int, payload_md5 string, sq_err long, "
+        "n_subpx long, psnr40_ok boolean"
+    )
+    return imgs.mapInPandas(_check, schema=out_schema).orderBy("image_id")
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -693,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_embedding_near_dups": q_embedding_near_dups,
         "q_doc_fingerprint": q_doc_fingerprint,
+        "q_image_invariants": q_image_invariants,
     }
 
 
@@ -1028,6 +1111,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b
             FROM read_parquet('{_ORACLE_DIR}/q_embedding_near_dups.parquet')
             ORDER BY id_a, id_b
+        """,
+        "q_image_invariants": f"""
+            SELECT image_id, fmt, w, h, caption, phash, phash_dist,
+                   payload_md5, sq_err, n_subpx, psnr40_ok
+            FROM read_parquet('{_ORACLE_DIR}/q_image_invariants.parquet')
+            ORDER BY image_id
         """,
     }
     # gen-B roundtrip must reproduce the identical feature table

@@ -289,6 +289,238 @@ def q_embedding_near_dups(sf_dir: str, threshold: float = 0.999) -> pd.DataFrame
     )
 
 
+# ---------------------------------------------------- q_image_invariants
+# Scalar single-node image stack for the input_hint corpus. The *corpus
+# synthesis* expressions (row_params hashes, generate_image noise, DCT
+# matrix formula) are the corpus/format definition and are replicated
+# verbatim so both engines see the same input; the *kernels under test*
+# (byte-RLE codec, payload assembly, hash packing, Hamming distance,
+# PSNR inequality, md5) are independent scalar implementations.
+
+_IMG_N = 600
+_IMG_WIDTHS = [16, 32, 64]
+_IMG_HEIGHTS = [16, 32, 48]
+_IMG_FMTS = ["raw", "rle", "dct40"]
+_IMG_ADJ = [
+    "quiet", "vivid", "rainy", "golden", "späte", "blurry", "crowded",
+    "misty", "šumivá", "ancient", "neon", "windy",
+]
+_IMG_NOUN = [
+    "harbor", "market", "straße", "bridge", "café", "forest", "skyline",
+    "plaza", "河流", "lighthouse",
+]
+_IMG_CLUSTERS = [
+    (-74.0, 40.7, 0.5),
+    (2.35, 48.85, 0.4),
+    (139.7, 35.7, 0.5),
+    (-46.6, -23.5, 0.6),
+    (77.2, 28.6, 0.5),
+]
+
+
+def _img_hash01(ids: np.ndarray, salt: int) -> np.ndarray:
+    """splitmix64 -> [0,1) (corpus definition, io/synth.py _hash01)."""
+    with np.errstate(over="ignore"):
+        x = ids.astype(np.uint64) + np.uint64(salt) * np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _img_lonlat(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    u = _img_hash01(ids, 1)
+    pick = (_img_hash01(ids, 2) * len(_IMG_CLUSTERS)).astype(np.int64)
+    cl = np.array(_IMG_CLUSTERS)
+    u1 = np.clip(_img_hash01(ids, 3), 1e-12, 1.0)
+    u2 = _img_hash01(ids, 4)
+    g1 = np.sqrt(-2 * np.log(u1)) * np.cos(2 * np.pi * u2)
+    g2 = np.sqrt(-2 * np.log(u1)) * np.sin(2 * np.pi * u2)
+    lon_c = cl[pick, 0] + cl[pick, 2] * g1
+    lat_c = cl[pick, 1] + cl[pick, 2] * g2
+    lon_u = _img_hash01(ids, 5) * 360.0 - 180.0
+    lat_u = _img_hash01(ids, 6) * 170.0 - 85.0
+    lon = np.where(u < 0.6, lon_c, lon_u)
+    lat = np.where(u < 0.6, lat_c, lat_u)
+    return np.clip(lon, -179.999, 179.999), np.clip(lat, -85.0, 85.0)
+
+
+def _img_generate(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic pixels (corpus definition, operators/images.py)."""
+    rng = np.random.default_rng(42 + i)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack(
+        [
+            (xx * 255 / max(w - 1, 1)),
+            (yy * 255 / max(h - 1, 1)),
+            ((xx + yy) * 255 / max(w + h - 2, 1)),
+        ],
+        axis=-1,
+    )
+    noise = rng.normal(0, 12, (h, w, 3))
+    phase = rng.uniform(0, 2 * np.pi)
+    wave = 40 * np.sin(2 * np.pi * xx / max(w, 1) * rng.integers(1, 4) + phase)
+    return np.clip(base + noise + wave[..., None], 0, 255).astype(np.uint8)
+
+
+def _img_dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    m[0] = np.sqrt(1.0 / n)
+    return m
+
+
+def _scalar_byte_rle(data: bytes) -> bytes:
+    """Independent scalar ORC byte-RLE encoder (runs>=3, literal chunks)."""
+    n = len(data)
+    if n == 0:
+        return b""
+    if n <= 2:
+        return bytes([256 - n]) + data
+    out = bytearray()
+    lits = bytearray()
+
+    def flush() -> None:
+        i = 0
+        while i < len(lits):
+            chunk = lits[i : i + 128]
+            out.append(256 - len(chunk))
+            out.extend(chunk)
+            i += 128
+        lits.clear()
+
+    i = 0
+    while i < n:
+        j = i
+        while j < n and data[j] == data[i]:
+            j += 1
+        ln = j - i
+        if ln >= 3:
+            flush()
+            rem = ln
+            while rem >= 3:
+                run = min(rem, 130)
+                out.append(run - 3)
+                out.append(data[i])
+                rem -= run
+            if rem:
+                lits.extend(data[j - rem : j])
+        else:
+            lits.extend(data[i:j])
+        i = j
+    flush()
+    return bytes(out)
+
+
+def _scalar_dct40_encode(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    ph = (h + 7) // 8 * 8
+    pw = (w + 7) // 8 * 8
+    padded = np.zeros((ph, pw, 3), dtype=np.float64)
+    padded[:h, :w] = px
+    m = _img_dct_matrix(8)
+    parts = []
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for c in range(3):
+                blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c]
+                q = np.round((m @ blk @ m.T) / 6.0).astype(np.int16)
+                parts.append(q.tobytes())
+    return b"".join(parts)
+
+
+def _scalar_dct40_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    ph = (h + 7) // 8 * 8
+    pw = (w + 7) // 8 * 8
+    q = np.frombuffer(data, dtype=np.int16).reshape(ph // 8, pw // 8, 3, 8, 8)
+    m = _img_dct_matrix(8)
+    padded = np.empty((ph, pw, 3), dtype=np.float64)
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for c in range(3):
+                padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c] = (
+                    m.T @ (q[by, bx, c].astype(np.float64) * 6.0) @ m
+                )
+    return np.clip(np.round(padded), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def _scalar_phash(px: np.ndarray) -> int:
+    """Scalar 64-bit DCT phash: same luma/DCT expressions as the format
+    definition; median/threshold/packing done with plain python ints."""
+    h, w, _ = px.shape
+    gray = px @ np.array([0.299, 0.587, 0.114])
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    luma = gray[np.ix_(ys, xs)]
+    m = _img_dct_matrix(32)
+    coef = m @ luma @ m.T
+    block = [float(coef[r, c]) for r in range(8) for c in range(8)]
+    med = float(np.median(np.array(block[1:])))
+    word = 0
+    for k in range(1, 64):
+        if block[k] > med:
+            word |= 1 << k
+    if word >= 1 << 63:
+        word -= 1 << 64
+    return word
+
+
+def q_image_invariants(sf_dir: str) -> pd.DataFrame:
+    import hashlib
+
+    lon, lat = _img_lonlat(np.arange(_IMG_N, dtype=np.int64))
+    rows = []
+    for i in range(_IMG_N):
+        w = _IMG_WIDTHS[i % 3]
+        h = _IMG_HEIGHTS[(i // 3) % 3]
+        fmt = _IMG_FMTS[i % 3]
+        px = _img_generate(i, w, h)
+        caption = (
+            f"{_IMG_ADJ[i % len(_IMG_ADJ)]} "
+            f"{_IMG_NOUN[i % len(_IMG_NOUN)]} near "
+            f"({float(lon[i]):.3f},{float(lat[i]):.3f})"
+        )
+        phash = _scalar_phash(px)
+        if fmt == "raw":
+            payload = px.tobytes()
+            decoded = px
+        elif fmt == "rle":
+            payload = _scalar_byte_rle(px.reshape(-1).tobytes())
+            decoded = px
+        else:
+            payload = _scalar_dct40_encode(px)
+            decoded = _scalar_dct40_decode(payload, w, h)
+        re_ph = _scalar_phash(decoded)
+        a = re_ph & ((1 << 64) - 1)
+        b = phash & ((1 << 64) - 1)
+        dist = bin(a ^ b).count("1")
+        lossy = _scalar_dct40_decode(_scalar_dct40_encode(decoded), w, h)
+        sq = int(((decoded.astype(np.int64) - lossy.astype(np.int64)) ** 2).sum())
+        npx = decoded.size
+        rows.append(
+            (
+                f"img-{i:012d}", fmt, w, h, caption, phash, dist,
+                hashlib.md5(payload).hexdigest(), sq, npx,
+                sq * 10_000 <= 255 * 255 * npx,
+            )
+        )
+    df = pd.DataFrame(
+        rows,
+        columns=[
+            "image_id", "fmt", "w", "h", "caption", "phash", "phash_dist",
+            "payload_md5", "sq_err", "n_subpx", "psnr40_ok",
+        ],
+    )
+    return df.astype(
+        {
+            "w": "int32", "h": "int32", "phash": "int64",
+            "phash_dist": "int32", "sq_err": "int64", "n_subpx": "int64",
+            "psnr40_ok": "bool",
+        }
+    )
+
+
 ORACLES = {
     "q_hilbert_cells": q_hilbert_cells,
     "q_h3_cells": q_h3_cells,
@@ -296,6 +528,7 @@ ORACLES = {
     "q_minhash_dedup": q_minhash_dedup,
     "q_simhash_dedup": q_simhash_dedup,
     "q_embedding_near_dups": q_embedding_near_dups,
+    "q_image_invariants": q_image_invariants,
 }
 
 
