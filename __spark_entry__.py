@@ -631,6 +631,30 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN top-10 vs the vec_id=1 embedding
+    (similarity #2 — the clusterable-data scale path: spherical-k-means
+    coarse quantizer + inverted-list probe + exact re-rank,
+    operators/similarity.py ivf_*). Gate setting probes ALL lists so IVF
+    degrades to provably-exact brute force and the DuckDB twin is plain
+    SQL top-k; partial-probe recall is pytest-covered on clustered data.
+    """
+    from cov_tiles_spark.operators.similarity import (
+        ivf_topk, ivf_train_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+    cents = ivf_train_centroids(emb, "embedding", "vec_id", dim=64, n_centroids=8)
+    return (
+        ivf_topk(
+            emb, "embedding", "vec_id", list(qvec), 10, cents,
+            nprobe=8, order_round=6,
+        )
+        .select("rank", F.col("id").alias("vec_id"))
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs via hyperplane LSH (dedup #5;
     rows-only — pandas-UDF signatures)."""
@@ -773,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_dedup": q_minhash_dedup,
         "q_simhash_dedup": q_simhash_dedup,
         "q_cosine_topk": q_cosine_topk,
+        "q_ivf_topk": q_ivf_topk,
         "q_embedding_near_dups": q_embedding_near_dups,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_image_invariants": q_image_invariants,
@@ -1063,6 +1088,25 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (
               SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
               FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT vec_id,
+                     round(
+                       list_dot_product(ev, qv)
+                       / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))),
+                       6) AS c
+              FROM (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+                    FROM embeddings) CROSS JOIN q)
+            SELECT cast(row_number() OVER (ORDER BY c DESC, vec_id) as int) AS rank,
+                   vec_id
+            FROM scored ORDER BY c DESC, vec_id LIMIT 10
+        """,
+        # all-lists-probed IVF == exact brute force, so the twin is the
+        # same top-k shape against the vec_id=1 query vector
+        "q_ivf_topk": """
+            WITH q AS (
+              SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id = 1),
             scored AS (
               SELECT vec_id,
                      round(

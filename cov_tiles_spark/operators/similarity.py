@@ -6,9 +6,17 @@
 - ``cosine_topk_many`` : broadcast a small query-vector table, exact
                          top-k per query via window (the kNN pattern).
 - ``ann_lsh_topk``     : random-hyperplane LSH buckets + multiprobe
-                         re-rank — the 100 TB path: the big side is
+                         re-rank — a 100 TB path: the big side is
                          scanned once, bucketed, and only candidate
                          buckets are re-ranked exactly.
+- ``ivf_train_centroids`` / ``ivf_assign`` / ``ivf_topk`` : IVF
+                         (inverted-file) ANN — spherical k-means coarse
+                         quantizer trained on a bounded sample, corpus
+                         assigned to inverted lists, queries probe only
+                         the ``nprobe`` nearest lists. The alternative
+                         100 TB path when data is clusterable: persist
+                         the assignment partitioned by ``list_id`` and
+                         a probe becomes parquet partition pruning.
 """
 
 from __future__ import annotations
@@ -94,6 +102,122 @@ def cosine_topk_many(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "id", "cosine")
+    )
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    n_centroids: int = 16,
+    iters: int = 10,
+    sample_n: int = 20_000,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: spherical k-means on a bounded,
+    deterministic sample.
+
+    The quantizer is tiny (``n_centroids x dim`` floats) and training
+    needs only a representative sample, so the standard IVF recipe is a
+    driver-side fit on ``<= sample_n`` rows — the full corpus is never
+    collected (at 10^12 rows the sample is one cheap ``limit`` over a
+    sorted scan). Deterministic: sample = first ``sample_n`` ids,
+    init = evenly spaced sample rows, Lloyd iterations with empty
+    clusters keeping their previous centroid. Returns unit-norm
+    centroids ``(n_centroids, dim)`` float64.
+    """
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .orderBy("id")
+        .limit(sample_n)
+        .collect()
+    )
+    m = np.stack([np.asarray(r.vec, dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(m, axis=1)
+    m = m[norms > 0] / norms[norms > 0, None]
+    # deterministic farthest-point init (greedy k-means++ without the
+    # randomness): start at the first sample row, then repeatedly take
+    # the row least similar to its nearest already-chosen centroid
+    chosen = [0]
+    best_sim = m @ m[0]
+    for _ in range(1, n_centroids):
+        nxt = int(np.argmin(best_sim))
+        chosen.append(nxt)
+        best_sim = np.maximum(best_sim, m @ m[nxt])
+    centroids = m[chosen].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ centroids.T, axis=1)
+        for c in range(n_centroids):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, centroids: np.ndarray
+) -> DataFrame:
+    """Add ``list_id`` (nearest-centroid index) to every row.
+
+    One vectorized pandas UDF over the broadcast quantizer — the 100 TB
+    build step. Persist the result partitioned/bucketed by ``list_id``
+    and ``ivf_topk``'s probe filter becomes partition pruning instead of
+    a full scan.
+    """
+    c = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        return pd.Series(np.argmax((m / norms[:, None]) @ c.T, axis=1).astype(np.int32))
+
+    return df.withColumn("list_id", nearest(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int,
+    centroids: np.ndarray,
+    nprobe: int = 4,
+    order_round: int | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``nprobe`` inverted lists whose centroids
+    are nearest the query, exact cosine re-rank inside them
+    (TakeOrderedAndProject — per-partition heaps, never a global window).
+
+    ``nprobe == len(centroids)`` degrades gracefully to exact brute-force
+    (every list probed), which is how the driver gate oracles it.
+    ``order_round`` as in :func:`cosine_topk`.
+    """
+    c = np.asarray(centroids, dtype=np.float64)
+    qv = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(qv)
+    probe = np.argsort(-(c @ (qv / qn)))[:nprobe].astype(int).tolist()
+
+    assigned = ivf_assign(df, vec_col, c).filter(F.col("list_id").isin(probe))
+    q = F.array(*[F.lit(float(v)) for v in query])
+    cos = _dot_expr(F.col(vec_col), q) / (_norm_expr(F.col(vec_col)) * F.lit(float(qn)))
+    scored = assigned.select(F.col(id_col).alias("id"), cos.alias("cosine"))
+    order_key = (
+        F.round(F.col("cosine"), order_round) if order_round is not None
+        else F.col("cosine")
+    )
+    return (
+        scored.withColumn("_ord", order_key)
+        .orderBy(F.col("_ord").desc(), F.col("id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("_ord").desc(), F.col("id"))
+        ))
+        .select("rank", "id", "cosine")
     )
 
 

@@ -190,6 +190,61 @@ def test_ann_lsh_recall_on_clustered_data(spark):
     assert 0 in {r.id for r in got}  # the query vector itself is found
 
 
+def test_ivf_topk_exact_when_all_lists_probed(spark, embs):
+    """nprobe == n_centroids degrades IVF to exact brute force — results
+    must equal the numpy oracle exactly (this is also how the driver
+    gate oracles q_ivf_topk)."""
+    from cov_tiles_spark.operators.similarity import (
+        ivf_topk, ivf_train_centroids,
+    )
+
+    rows = embs.collect()
+    mat = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+    q = mat[ids.tolist().index(1)]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))[:10]
+    expected = [int(ids[i]) for i in order]
+
+    cents = ivf_train_centroids(embs, "embedding", "vec_id", dim=64, n_centroids=8)
+    cents2 = ivf_train_centroids(embs, "embedding", "vec_id", dim=64, n_centroids=8)
+    assert np.array_equal(cents, cents2)  # deterministic quantizer
+
+    got = ivf_topk(embs, "embedding", "vec_id", q.tolist(), 10, cents, nprobe=8).collect()
+    assert [r.id for r in sorted(got, key=lambda r: r.rank)] == expected
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """With real cluster structure, probing a few inverted lists recovers
+    the exact neighbors (the quantizer's cells align with the clusters)."""
+    from cov_tiles_spark.operators.similarity import (
+        ivf_topk, ivf_train_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(20, 64))
+    vecs = []
+    for i in range(400):
+        c = centers[i % 20]
+        vecs.append((i, (c + rng.normal(0, 0.05, 64)).astype(float).tolist()))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    q = vecs[0][1]
+    mat = np.array([v for _, v in vecs])
+    sims = mat @ np.array(q) / (
+        np.linalg.norm(mat, axis=1) * np.linalg.norm(q)
+    )
+    exact = {int(i) for i, _ in sorted(
+        zip([i for i, _ in vecs], -sims), key=lambda t: (t[1], t[0])
+    )[:10]}
+
+    cents = ivf_train_centroids(df, "embedding", "vec_id", dim=64, n_centroids=20)
+    got = ivf_topk(df, "embedding", "vec_id", q, 10, cents, nprobe=3).collect()
+    recall = len({r.id for r in got} & exact) / 10
+    assert recall >= 0.8, f"IVF recall too low on clustered data: {recall}"
+    assert 0 in {r.id for r in got}
+
+
 def test_lang_id_on_planted_sentences(spark):
     """The testdata documents are English-ish word soup for every lang
     label, so accuracy-vs-label is meaningless there; plant real
