@@ -758,6 +758,40 @@ def q_image_invariants(spark, sf_dir):
     return imgs.mapInPandas(_check, schema=out_schema).orderBy("image_id")
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio decode + feature extraction over the deterministic pcm16
+    corpus (operators/av.py): integer-exact per-asset features (sample
+    count, peak, energy = exact int64 sum of squares, zero-crossing
+    count) from one vectorized mapInPandas pass. Oracle: independent
+    scalar single-node implementation (scripts/build_oracles.py)."""
+    from cov_tiles_spark.io.synth import audio_df
+    from cov_tiles_spark.operators.av import audio_features
+
+    return (
+        audio_features(audio_df(spark, 300))
+        .select("asset_id", "sr", "fmt", "n_samples", "peak", "energy",
+                "zero_crossings")
+        .orderBy("asset_id")
+    )
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling + per-frame fingerprinting over the
+    deterministic raw-frame corpus (operators/av.py): uniform-k frame
+    selection ((j*n)//k rule) and xor of the sampled frames' 64-bit
+    perceptual hashes — exact integers on both engines. Oracle:
+    independent scalar implementation (scripts/build_oracles.py)."""
+    from cov_tiles_spark.io.synth import video_df
+    from cov_tiles_spark.operators.av import frame_sample_features
+
+    return (
+        frame_sample_features(video_df(spark, 200), k=4)
+        .select("asset_id", "w", "h", "n_frames", "fmt", "frames_sampled",
+                "frame_phash_xor")
+        .orderBy("asset_id")
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -801,6 +835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_near_dups": q_embedding_near_dups,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_image_invariants": q_image_invariants,
+        "q_audio_features": q_audio_features,
+        "q_frame_sample": q_frame_sample,
     }
 
 
@@ -1161,6 +1197,16 @@ def oracle_sql() -> dict[str, str]:
                    payload_md5, sq_err, n_subpx, psnr40_ok
             FROM read_parquet('{_ORACLE_DIR}/q_image_invariants.parquet')
             ORDER BY image_id
+        """,
+        "q_audio_features": f"""
+            SELECT asset_id, sr, fmt, n_samples, peak, energy, zero_crossings
+            FROM read_parquet('{_ORACLE_DIR}/q_audio_features.parquet')
+            ORDER BY asset_id
+        """,
+        "q_frame_sample": f"""
+            SELECT asset_id, w, h, n_frames, fmt, frames_sampled, frame_phash_xor
+            FROM read_parquet('{_ORACLE_DIR}/q_frame_sample.parquet')
+            ORDER BY asset_id
         """,
     }
     # gen-B roundtrip must reproduce the identical feature table

@@ -138,6 +138,77 @@ def images_df(spark: SparkSession, n: int, partitions: int | None = None) -> Dat
     )
 
 
+# ---------- audio / video corpora (operators/av.py) ----------
+
+AUDIO_SCHEMA = "asset_id string, bytes binary, sr int, fmt string"
+VIDEO_SCHEMA = (
+    "asset_id string, bytes binary, w int, h int, n_frames int, "
+    "fps int, fmt string"
+)
+
+
+def audio_samples_for(i: int) -> int:
+    return 4000 + (i % 5) * 1000
+
+
+def video_params_for(i: int) -> tuple[int, int, int]:
+    """(w, h, n_frames) for asset i."""
+    return 32, 24, 8 + (i % 5) * 2
+
+
+def audio_df(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic pcm16 audio corpus (operators/av.py)."""
+    from cov_tiles_spark.operators.av import encode_audio, synth_audio
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "asset_id": [f"aud-{i:09d}" for i in ids.tolist()],
+                    "bytes": [
+                        encode_audio(
+                            synth_audio(int(i), audio_samples_for(int(i))), "pcm16"
+                        )
+                        for i in ids.tolist()
+                    ],
+                    "sr": np.int32(16_000),
+                    "fmt": "pcm16",
+                }
+            )
+
+    return spark.range(0, n, numPartitions=partitions or 8).mapInPandas(
+        _gen, schema=AUDIO_SCHEMA
+    )
+
+
+def video_df(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic raw-frame video corpus (operators/av.py)."""
+    from cov_tiles_spark.operators.av import encode_video, synth_video
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = {
+                "asset_id": [], "bytes": [], "w": [], "h": [],
+                "n_frames": [], "fps": [], "fmt": [],
+            }
+            for i in ids.tolist():
+                w, h, nf = video_params_for(int(i))
+                rows["asset_id"].append(f"vid-{i:09d}")
+                rows["bytes"].append(encode_video(synth_video(int(i), w, h, nf), "rawv"))
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["n_frames"].append(nf)
+                rows["fps"].append(10)
+                rows["fmt"].append("rawv")
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, numPartitions=partitions or 8).mapInPandas(
+        _gen, schema=VIDEO_SCHEMA
+    )
+
+
 # ---------- tile_boundaries (FIXTURES.md §2) ----------
 
 def tile_boundaries_df(

@@ -521,6 +521,84 @@ def q_image_invariants(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# -------------------------------------------- q_audio_features (scalar)
+
+def _oracle_synth_audio(asset_id: int, n_samples: int, sr: int = 16_000) -> np.ndarray:
+    """Corpus definition (operators/av.py synth_audio), replicated."""
+    rng = np.random.default_rng(1000 + asset_id)
+    t = np.arange(n_samples, dtype=np.float64) / sr
+    f1 = 110.0 * (1 + (asset_id % 7))
+    f2 = 523.25
+    sig = 0.55 * np.sin(2 * np.pi * f1 * t) + 0.25 * np.sin(2 * np.pi * f2 * t)
+    sig += rng.normal(0, 0.02, n_samples)
+    lead = min(n_samples, sr // 100)
+    sig[:lead] = 0.0
+    return np.clip(np.round(sig * 20000.0), -32768, 32767).astype(np.int16)
+
+
+def q_audio_features(sf_dir: str) -> pd.DataFrame:
+    rows = []
+    for i in range(300):
+        n_samples = 4000 + (i % 5) * 1000
+        s = _oracle_synth_audio(i, n_samples)
+        peak = 0
+        energy = 0
+        zcr = 0
+        prev_sign = None
+        for v in s.tolist():
+            if abs(v) > peak:
+                peak = abs(v)
+            energy += v * v
+            if v != 0:
+                sign = v > 0
+                if prev_sign is not None and sign != prev_sign:
+                    zcr += 1
+                prev_sign = sign
+        rows.append((f"aud-{i:09d}", 16_000, "pcm16", n_samples, peak, energy, zcr))
+    return pd.DataFrame(
+        rows,
+        columns=["asset_id", "sr", "fmt", "n_samples", "peak", "energy",
+                 "zero_crossings"],
+    ).astype({"sr": "int32", "n_samples": "int64", "peak": "int64",
+              "energy": "int64", "zero_crossings": "int64"})
+
+
+# ---------------------------------------------- q_frame_sample (scalar)
+
+def _oracle_synth_video_frame(asset_id: int, f: int, w: int, h: int) -> np.ndarray:
+    """One frame via scalar loops (independent of the vectorized synth —
+    the frame content is pure integer arithmetic on pixel coordinates)."""
+    shift = (asset_id * 3 + f * 5) % 256
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            px[y, x, 0] = (x * 255 // max(w - 1, 1) + shift) % 256
+            px[y, x, 1] = (y * 255 // max(h - 1, 1) + 2 * shift) % 256
+            px[y, x, 2] = ((x + y) * 255 // max(w + h - 2, 1) + 3 * shift) % 256
+    return px
+
+
+def q_frame_sample(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    rows = []
+    for i in range(200):
+        w, h, nf = 32, 24, 8 + (i % 5) * 2
+        kk = min(k, nf)
+        idx = [(j * nf) // kk for j in range(kk)]
+        acc = 0
+        for f in idx:
+            ph = _scalar_phash(_oracle_synth_video_frame(i, f, w, h))
+            acc ^= ph & ((1 << 64) - 1)
+        if acc >= 1 << 63:
+            acc -= 1 << 64
+        rows.append((f"vid-{i:09d}", w, h, nf, "rawv", kk, acc))
+    return pd.DataFrame(
+        rows,
+        columns=["asset_id", "w", "h", "n_frames", "fmt", "frames_sampled",
+                 "frame_phash_xor"],
+    ).astype({"w": "int32", "h": "int32", "n_frames": "int32",
+              "frames_sampled": "int32", "frame_phash_xor": "int64"})
+
+
 ORACLES = {
     "q_hilbert_cells": q_hilbert_cells,
     "q_h3_cells": q_h3_cells,
@@ -529,6 +607,8 @@ ORACLES = {
     "q_simhash_dedup": q_simhash_dedup,
     "q_embedding_near_dups": q_embedding_near_dups,
     "q_image_invariants": q_image_invariants,
+    "q_audio_features": q_audio_features,
+    "q_frame_sample": q_frame_sample,
 }
 
 
