@@ -47,6 +47,41 @@ def encode_varints(values: np.ndarray) -> bytes:
     return out[keep].tobytes()  # row-major ravel keeps byte order per value
 
 
+def encode_varints_with_ends(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Like :func:`encode_varints` but also returns the cumulative end
+    offset of each value's encoding (int64), so callers that interleave
+    varint payloads with other bytes (e.g. RLE block headers) can encode
+    a whole stream's varints in ONE vectorized pass and slice per block.
+    """
+    v = np.asarray(values).astype(np.uint64, copy=False)
+    n = v.shape[0]
+    if n == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    if n <= 16:  # tiny-stream fast path: vectorized setup dominates below this
+        out = bytearray()
+        ends = np.empty(n, dtype=np.int64)
+        for i, x in enumerate(v.tolist()):
+            while True:
+                b = x & 0x7F
+                x >>= 7
+                if x:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    break
+            ends[i] = len(out)
+        return bytes(out), ends
+    groups = (v[:, None] >> _SHIFTS[None, :]) & _MASK7  # (n, 10)
+    nonzero = groups != 0
+    any_nz = nonzero.any(axis=1)
+    nbytes = np.where(any_nz, 10 - np.argmax(nonzero[:, ::-1], axis=1), 1)
+    idx = np.arange(10, dtype=np.int64)
+    cont = idx[None, :] < (nbytes - 1)[:, None]
+    out = (groups.astype(np.uint8)) | (cont.astype(np.uint8) << 7)
+    keep = idx[None, :] < nbytes[:, None]
+    return out[keep].tobytes(), np.cumsum(nbytes)
+
+
 def decode_varints(
     buf: np.ndarray, n: int, offset: int = 0
 ) -> tuple[np.ndarray, int]:
