@@ -631,6 +631,25 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (dedup #4) on documents +
+    planted copies — hash-blocked candidates, set-intersection Jaccard
+    JVM-side. Oracle: independent scalar blocking + set math
+    (scripts/build_oracles.py). Output is the id pair set (the jaccard
+    float stays out of the hash; thresholding is checked by membership).
+    """
+    from cov_tiles_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    corpus = d.select("doc_id", "text").unionAll(planted)
+    return (
+        ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.5)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF (inverted-file) ANN top-10 vs the vec_id=1 embedding
     (similarity #2 — the clusterable-data scale path: spherical-k-means
@@ -831,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_dedup": q_minhash_dedup,
         "q_simhash_dedup": q_simhash_dedup,
         "q_cosine_topk": q_cosine_topk,
+        "q_ngram_jaccard": q_ngram_jaccard,
         "q_ivf_topk": q_ivf_topk,
         "q_embedding_near_dups": q_embedding_near_dups,
         "q_doc_fingerprint": q_doc_fingerprint,
@@ -1207,6 +1227,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT asset_id, w, h, n_frames, fmt, frames_sampled, frame_phash_xor
             FROM read_parquet('{_ORACLE_DIR}/q_frame_sample.parquet')
             ORDER BY asset_id
+        """,
+        "q_ngram_jaccard": f"""
+            SELECT id_a, id_b
+            FROM read_parquet('{_ORACLE_DIR}/q_ngram_jaccard.parquet')
+            ORDER BY id_a, id_b
         """,
     }
     # gen-B roundtrip must reproduce the identical feature table

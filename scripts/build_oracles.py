@@ -521,6 +521,35 @@ def q_image_invariants(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# ---------------------------------------------- q_ngram_jaccard (scalar)
+
+def q_ngram_jaccard(sf_dir: str, n: int = 3, threshold: float = 0.5) -> pd.DataFrame:
+    """Exact 3-gram Jaccard pairs over documents + planted copies:
+    independent scalar blocking (first n chars) + python set math."""
+    corpus = planted_docs(sf_dir)
+    ids = corpus["doc_id"].tolist()
+    texts = corpus["text"].tolist()
+    blocks: dict[str, list[int]] = {}
+    grams: list[set] = []
+    for j, t in enumerate(texts):
+        g = {t[i : i + n] for i in range(max(len(t) - n + 1, 1))}
+        grams.append(g)
+        blocks.setdefault(t[:n], []).append(j)
+    out = []
+    for members in blocks.values():
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                x, y = members[ai], members[bi]
+                if ids[x] == ids[y]:
+                    continue
+                inter = len(grams[x] & grams[y])
+                union = len(grams[x] | grams[y])
+                if union and inter / union >= threshold:
+                    lo, hi = sorted((ids[x], ids[y]))
+                    out.append((lo, hi))
+    return pd.DataFrame(sorted(set(out)), columns=["id_a", "id_b"]).astype("int64")
+
+
 # -------------------------------------------- q_audio_features (scalar)
 
 def _oracle_synth_audio(asset_id: int, n_samples: int, sr: int = 16_000) -> np.ndarray:
@@ -609,6 +638,7 @@ ORACLES = {
     "q_image_invariants": q_image_invariants,
     "q_audio_features": q_audio_features,
     "q_frame_sample": q_frame_sample,
+    "q_ngram_jaccard": q_ngram_jaccard,
 }
 
 
