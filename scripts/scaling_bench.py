@@ -89,6 +89,20 @@ def main() -> None:
     print(json.dumps(result))
 
     os.makedirs("BENCH", exist_ok=True)
+    # preserve every section other scripts appended (decode parity,
+    # transcode parity, codec sweep, notes): everything from the marker on
+    marker = "<!-- scaling-bench-end -->\n"
+    tail = ""
+    try:
+        old = open("BENCH/BASELINE.md").read()
+        if marker in old:
+            tail = old.split(marker, 1)[1]
+        else:
+            i = old.find("\n## ")
+            if i >= 0:
+                tail = old[i + 1 :]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH/BASELINE — measured in-sandbox\n\n"
@@ -121,8 +135,11 @@ def main() -> None:
             "partition (measured 38.8k-row stragglers at 3x); the encode "
             "stage is mapInPandas (per-batch Arrow protocol) instead of "
             "applyInPandas (per-group, ~6 ms/group measured, which "
-            "serialized the stage).\n"
+            "serialized the stage).\n\n"
         )
+        f.write(marker)
+        if tail:
+            f.write("\n" + tail.lstrip("\n"))
 
 
 if __name__ == "__main__":
