@@ -777,6 +777,52 @@ def q_image_invariants(spark, sf_dir):
     return imgs.mapInPandas(_check, schema=out_schema).orderBy("image_id")
 
 
+def q_bbox_join(spark, sf_dir):
+    """Range join (SURVEY §2.3 range-join row): points-in-rectangles via
+    cell-binned equi-join + exact interval predicate
+    (spatial/rangejoin.py bbox_join) — never a cartesian. Boxes derive
+    deterministically from integer keys with the same modular arithmetic
+    as the points, so the DuckDB twin is the plain interval join (the
+    cell binning changes the plan, not the result)."""
+    from cov_tiles_spark.spatial.rangejoin import bbox_join
+
+    pts = _events_points(spark, sf_dir)
+    k = F.col("id") * 7 + 3
+    boxes = spark.range(80).select(
+        F.col("id").alias("box_id"),
+        (_lon(k) - ((F.col("id") % 5) + 2)).alias("lon_min"),
+        (_lon(k) + ((F.col("id") % 5) + 2)).alias("lon_max"),
+        (_lat(k) - ((F.col("id") % 3) + 1)).alias("lat_min"),
+        (_lat(k) + ((F.col("id") % 3) + 1)).alias("lat_max"),
+    )
+    return (
+        bbox_join(pts, boxes, zoom=4)
+        .select("event_id", "box_id")
+        .orderBy("event_id", "box_id")
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): every event matched to the latest
+    marker event (event_id % 20 == 0, deduped per user+ts) at or before
+    its timestamp, per user — union-tag-window plan, one exchange. The
+    DuckDB twin uses its native ASOF LEFT JOIN."""
+    from cov_tiles_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    markers = (
+        e.filter(F.col("event_id") % 20 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("marker_id"))
+    )
+    left = e.select("event_id", "user_id", "ts")
+    return (
+        asof_join(left, markers, "ts", ["user_id"], ["marker_id"])
+        .select("event_id", "user_id", "marker_id")
+        .orderBy("event_id")
+    )
+
+
 def q_audio_features(spark, sf_dir):
     """Audio decode + feature extraction over the deterministic pcm16
     corpus (operators/av.py): integer-exact per-asset features (sample
@@ -857,6 +903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_invariants": q_image_invariants,
         "q_audio_features": q_audio_features,
         "q_frame_sample": q_frame_sample,
+        "q_bbox_join": q_bbox_join,
+        "q_asof_join": q_asof_join,
     }
 
 
@@ -1232,6 +1280,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b
             FROM read_parquet('{_ORACLE_DIR}/q_ngram_jaccard.parquet')
             ORDER BY id_a, id_b
+        """,
+        # plain interval join — the Spark side's cell binning is a plan
+        # optimization only
+        "q_bbox_join": f"""
+            WITH p AS (
+              SELECT event_id, {_LON_E} AS lon, {_LAT_E} AS lat FROM events),
+            b AS (
+              SELECT id AS box_id,
+                     ({_LON_SQL.format(k="(id * 7 + 3)")} - ((id % 5) + 2)) AS lon_min,
+                     ({_LON_SQL.format(k="(id * 7 + 3)")} + ((id % 5) + 2)) AS lon_max,
+                     ({_LAT_SQL.format(k="(id * 7 + 3)")} - ((id % 3) + 1)) AS lat_min,
+                     ({_LAT_SQL.format(k="(id * 7 + 3)")} + ((id % 3) + 1)) AS lat_max
+              FROM range(80) t(id))
+            SELECT event_id, box_id
+            FROM p JOIN b
+              ON p.lon >= b.lon_min AND p.lon <= b.lon_max
+             AND p.lat >= b.lat_min AND p.lat <= b.lat_max
+            ORDER BY event_id, box_id
+        """,
+        "q_asof_join": """
+            WITH m AS (
+              SELECT user_id, ts, max(event_id) AS marker_id
+              FROM events WHERE event_id % 20 = 0 GROUP BY user_id, ts),
+            l AS (SELECT event_id, user_id, ts FROM events)
+            SELECT l.event_id, l.user_id, m.marker_id
+            FROM l ASOF LEFT JOIN m
+              ON l.user_id = m.user_id AND l.ts >= m.ts
+            ORDER BY l.event_id
         """,
     }
     # gen-B roundtrip must reproduce the identical feature table
