@@ -777,6 +777,34 @@ def q_image_invariants(spark, sf_dir):
     return imgs.mapInPandas(_check, schema=out_schema).orderBy("image_id")
 
 
+def q_resize(spark, sf_dir):
+    """Image resize (multimodal op #3): every corpus image decoded,
+    area-mean-resized to 12x10 (exact integer box averages via prefix
+    sums), re-encoded in its own format — md5 of the resized payload
+    compared against an independent scalar per-output-pixel loop
+    implementation (scripts/build_oracles.py)."""
+    import hashlib
+
+    import pandas as pd
+
+    from cov_tiles_spark.io.synth import images_df
+    from cov_tiles_spark.operators.av import resize_images
+
+    def _digest(batches):
+        for pdf in batches:
+            out = pdf[["image_id", "fmt", "w", "h"]].copy()
+            out["resized_md5"] = [
+                hashlib.md5(bytes(b)).hexdigest() for b in pdf["bytes"]
+            ]
+            yield out
+
+    small = resize_images(images_df(spark, 300, partitions=8), 12, 10)
+    return small.mapInPandas(
+        _digest,
+        schema="image_id string, fmt string, w int, h int, resized_md5 string",
+    ).orderBy("image_id")
+
+
 def q_bbox_join(spark, sf_dir):
     """Range join (SURVEY §2.3 range-join row): points-in-rectangles via
     cell-binned equi-join + exact interval predicate
@@ -903,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_invariants": q_image_invariants,
         "q_audio_features": q_audio_features,
         "q_frame_sample": q_frame_sample,
+        "q_resize": q_resize,
         "q_bbox_join": q_bbox_join,
         "q_asof_join": q_asof_join,
     }
@@ -1280,6 +1309,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b
             FROM read_parquet('{_ORACLE_DIR}/q_ngram_jaccard.parquet')
             ORDER BY id_a, id_b
+        """,
+        "q_resize": f"""
+            SELECT image_id, fmt, w, h, resized_md5
+            FROM read_parquet('{_ORACLE_DIR}/q_resize.parquet')
+            ORDER BY image_id
         """,
         # plain interval join — the Spark side's cell binning is a plan
         # optimization only

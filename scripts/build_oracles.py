@@ -521,6 +521,51 @@ def q_image_invariants(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# --------------------------------------------------- q_resize (scalar)
+
+def _scalar_resize(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Independent area-mean resize: per output pixel, an explicit python
+    double loop summing its source box (exact integer floor average)."""
+    h, w, _ = px.shape
+    out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+    for oy in range(out_h):
+        y0, y1 = (oy * h) // out_h, ((oy + 1) * h) // out_h
+        for ox in range(out_w):
+            x0, x1 = (ox * w) // out_w, ((ox + 1) * w) // out_w
+            for c in range(3):
+                s = 0
+                for y in range(y0, y1):
+                    for x in range(x0, x1):
+                        s += int(px[y, x, c])
+                out[oy, ox, c] = s // ((y1 - y0) * (x1 - x0))
+    return out
+
+
+def q_resize(sf_dir: str, out_w: int = 12, out_h: int = 10) -> pd.DataFrame:
+    import hashlib
+
+    rows = []
+    for i in range(300):
+        w = _IMG_WIDTHS[i % 3]
+        h = _IMG_HEIGHTS[(i // 3) % 3]
+        fmt = _IMG_FMTS[i % 3]
+        px = _img_generate(i, w, h)
+        if fmt == "dct40":  # the stored payload is lossy; resize its decode
+            px = _scalar_dct40_decode(_scalar_dct40_encode(px), w, h)
+        small = _scalar_resize(px, out_w, out_h)
+        if fmt == "raw":
+            payload = small.tobytes()
+        elif fmt == "rle":
+            payload = _scalar_byte_rle(small.reshape(-1).tobytes())
+        else:
+            payload = _scalar_dct40_encode(small)
+        rows.append((f"img-{i:012d}", fmt, out_w, out_h,
+                     hashlib.md5(payload).hexdigest()))
+    return pd.DataFrame(
+        rows, columns=["image_id", "fmt", "w", "h", "resized_md5"]
+    ).astype({"w": "int32", "h": "int32"})
+
+
 # ---------------------------------------------- q_ngram_jaccard (scalar)
 
 def q_ngram_jaccard(sf_dir: str, n: int = 3, threshold: float = 0.5) -> pd.DataFrame:
@@ -639,6 +684,7 @@ ORACLES = {
     "q_audio_features": q_audio_features,
     "q_frame_sample": q_frame_sample,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_resize": q_resize,
 }
 
 
