@@ -203,7 +203,13 @@ def decode_byte_rle(
 
 
 def encode_byte_rle(values: np.ndarray) -> bytes:
-    """Encode bytes as RLE blocks (runs of >=3 equal bytes, else literals)."""
+    """Encode bytes as RLE blocks (runs of >=3 equal bytes, else literals).
+
+    Stretch detection is vectorized and only *run* stretches get python
+    iterations; literal bytes (the whole input, for noisy data like image
+    pixels) are emitted as memoryview slices per 128-chunk — the previous
+    per-byte literal buffering cost ~1 µs/byte on run-free inputs.
+    """
     v = np.asarray(values).astype(np.uint8, copy=False)
     n = v.shape[0]
     if n == 0:
@@ -216,32 +222,33 @@ def encode_byte_rle(values: np.ndarray) -> bytes:
     change[1:] = v[1:] != v[:-1]
     starts = np.flatnonzero(change)
     lens = np.diff(np.append(starts, n))
-    parts: list[bytes] = []
-    lit_buf: list[np.ndarray] = []
+    run_sel = lens >= 3
+    raw = v.tobytes()
+    mv = memoryview(raw)
+    parts: list = []
 
-    def flush_literals() -> None:
-        if not lit_buf:
-            return
-        lits = np.concatenate(lit_buf)
-        for i in range(0, len(lits), _MAX_LITERALS):
-            chunk = lits[i : i + _MAX_LITERALS]
-            parts.append(bytes([256 - len(chunk)]))
-            parts.append(chunk.tobytes())
-        lit_buf.clear()
+    def flush_span(lo: int, hi: int) -> None:
+        for i in range(lo, hi, _MAX_LITERALS):
+            c = min(_MAX_LITERALS, hi - i)
+            parts.append(bytes([256 - c]))
+            parts.append(mv[i : i + c])
 
-    for s, ln in zip(starts.tolist(), lens.tolist()):
-        total = ln
-        if ln >= 3:
-            flush_literals()
-            val = v[s : s + 1].tobytes()
-            while ln >= 3:
-                run = min(ln, _MAX_RUN)
-                parts.append(bytes([run - 3]))
-                parts.append(val)
-                ln -= run
-            if ln:  # <3 leftover of a long stretch -> literals
-                lit_buf.append(v[s + total - ln : s + total])
-        else:
-            lit_buf.append(v[s : s + ln])
-    flush_literals()
+    lit_lo = 0  # start of the pending literal span
+    for s, ln in zip(starts[run_sel].tolist(), lens[run_sel].tolist()):
+        rem = ln % _MAX_RUN
+        if rem >= 3:
+            rem = 0  # final short chunk is still a valid run
+        consumed = ln - rem  # greedy 130-chunks; <3 leftover -> literals
+        if s > lit_lo:
+            flush_span(lit_lo, s)
+        val = raw[s : s + 1]
+        left = consumed
+        while left > 0:
+            run = min(left, _MAX_RUN)
+            parts.append(bytes([run - 3]))
+            parts.append(val)
+            left -= run
+        lit_lo = s + consumed
+    if lit_lo < n:
+        flush_span(lit_lo, n)
     return b"".join(parts)
