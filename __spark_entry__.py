@@ -568,6 +568,20 @@ def q_token_counts(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_token_counts_bpe(spark, sf_dir):
+    """BPE-pre-tokenizer token counts (the 'BPE-ish regex'): JVM-side
+    regexp_count of the GPT-2-style pattern (operators/text.py
+    BPE_PATTERN). Oracle: independent hand-rolled scanner emulating the
+    alternation semantics with no regex engine
+    (scripts/build_oracles.py)."""
+    from cov_tiles_spark.operators.text import token_count_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", token_count_bpe(F.col("text")).alias("n_bpe_tokens")
+    ).orderBy("doc_id")
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-ratio language id vs labels (text analysis #1)."""
     from cov_tiles_spark.operators.text import lang_id
@@ -919,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_dedup_exact": q_dedup_exact,
         "q_token_counts": q_token_counts,
+        "q_token_counts_bpe": q_token_counts_bpe,
         "q_lang_id": q_lang_id,
         "q_quality": q_quality,
         "q_minhash_dedup": q_minhash_dedup,
@@ -1309,6 +1324,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b
             FROM read_parquet('{_ORACLE_DIR}/q_ngram_jaccard.parquet')
             ORDER BY id_a, id_b
+        """,
+        "q_token_counts_bpe": f"""
+            SELECT doc_id, n_bpe_tokens
+            FROM read_parquet('{_ORACLE_DIR}/q_token_counts_bpe.parquet')
+            ORDER BY doc_id
         """,
         "q_resize": f"""
             SELECT image_id, fmt, w, h, resized_md5

@@ -31,6 +31,25 @@ def token_count(text: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer pattern (the "BPE-ish regex"): contraction
+# suffixes, then optional-space letter / number / other runs, then
+# whitespace runs. Java regex dialect; \p{L} and \p{N} are Unicode
+# categories, \s is the ASCII whitespace class.
+BPE_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-pre-tokenizer token count: non-overlapping matches of
+    BPE_PATTERN, counted JVM-side (``regexp_count`` — whole-stage
+    codegen, no Python). Approximates how a GPT-2-family tokenizer
+    splits text before merges, which is the count that matters for
+    training-data budgeting."""
+    return F.regexp_count(text, F.lit(BPE_PATTERN)).cast("long")
+
+
 def word_occurrences(text: Column, word: str) -> Column:
     """Occurrences of ``word`` as a whitespace-delimited token."""
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))

@@ -521,6 +521,67 @@ def q_image_invariants(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# ------------------------------------------- q_token_counts_bpe (scalar)
+
+_JAVA_WS = set(" \t\n\x0b\f\r")  # Java regex \s is the ASCII class
+_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+
+def _bpe_token_count_scalar(s: str) -> int:
+    """Hand-rolled scanner emulating the BPE pre-tokenizer pattern's
+    alternation semantics (contractions, then optional-space letter /
+    numeric / other runs, then ASCII-whitespace runs) — independent of
+    any regex engine. \\p{L} == str.isalpha (categories L*), \\p{N} ==
+    str.isnumeric (Nd/Nl/No)."""
+    def is_l(c): return c.isalpha()
+    def is_n(c): return c.isnumeric()
+    def is_ws(c): return c in _JAVA_WS
+    def is_other(c): return not (is_ws(c) or is_l(c) or is_n(c))
+
+    i, n, count = 0, len(s), 0
+    while i < n:
+        hit = False
+        for suf in _CONTRACTIONS:
+            if s.startswith(suf, i):
+                i += len(suf)
+                count += 1
+                hit = True
+                break
+        if hit:
+            continue
+        k = i + 1 if s[i] == " " else i
+        for pred in (is_l, is_n, is_other):
+            if k < n and pred(s[k]):
+                k += 1
+                while k < n and pred(s[k]):
+                    k += 1
+                i = k
+                count += 1
+                hit = True
+                break
+        if hit:
+            continue
+        # whitespace run (also catches a trailing lone space)
+        k = i + 1
+        while k < n and is_ws(s[k]):
+            k += 1
+        i = k
+        count += 1
+    return count
+
+
+def q_token_counts_bpe(sf_dir: str) -> pd.DataFrame:
+    d = load(sf_dir, "documents")
+    return pd.DataFrame(
+        {
+            "doc_id": d["doc_id"].astype("int64"),
+            "n_bpe_tokens": [
+                _bpe_token_count_scalar(t) for t in d["text"]
+            ],
+        }
+    ).astype({"n_bpe_tokens": "int64"}).sort_values("doc_id", ignore_index=True)
+
+
 # --------------------------------------------------- q_resize (scalar)
 
 def _scalar_resize(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -685,6 +746,7 @@ ORACLES = {
     "q_frame_sample": q_frame_sample,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_resize": q_resize,
+    "q_token_counts_bpe": q_token_counts_bpe,
 }
 
 

@@ -132,3 +132,24 @@ def test_bitpack_roundtrip(vals, signed, delta):
     buf = np.frombuffer(encode_bitpack(arr, signed=signed, delta=delta), dtype=np.uint8)
     out = decode_bitpack(buf, len(arr), signed=signed, delta=delta)
     np.testing.assert_array_equal(out, arr)
+
+
+@_settings
+@given(
+    st.lists(st.integers(min_value=-(2**45), max_value=2**45), min_size=1, max_size=600),
+    st.booleans(),
+    st.booleans(),
+)
+def test_pfor_roundtrip(vals, zigzag, delta):
+    """Patched frame-of-reference (FastPFOR analogue, covt/pfor.py):
+    any int64 stream round-trips under all flag combinations."""
+    from cov_tiles_spark.covt.pfor import decode_pfor, encode_pfor
+
+    if not (zigzag or delta):
+        vals = [abs(v) for v in vals]
+    arr = np.array(vals, dtype=np.int64)
+    buf = np.frombuffer(
+        encode_pfor(arr, zigzag=zigzag, delta=delta), dtype=np.uint8
+    )
+    out, _off = decode_pfor(buf, len(arr), zigzag=zigzag, delta=delta)
+    np.testing.assert_array_equal(np.asarray(out, dtype=np.int64), arr)

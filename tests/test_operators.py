@@ -271,3 +271,43 @@ def test_fingerprint_deterministic_and_distinct(spark, docs):
     texts = docs.select("doc_id", "text").collect()
     n_unique_texts = len({r.text for r in texts})
     assert len(set(a.values())) == n_unique_texts
+
+
+def test_bpe_token_count_on_tricky_strings(spark):
+    """JVM regexp_count of BPE_PATTERN vs hand-derived expected counts
+    (contractions, optional-space runs, digits, punctuation clusters,
+    unicode letters, whitespace runs)."""
+    import pandas as pd
+    from cov_tiles_spark.operators.text import token_count_bpe
+
+    cases = [
+        ("hello world", 2),          # "hello", " world"
+        ("it's we'll don't", 6),     # it / 's / " we" / 'll / " don" / 't
+        ("abc123", 2),               # "abc", "123"
+        ("a  b", 3),                 # "a", " " (ws run of 1: 'a',' b' -> actually "a"," " ?): see scanner
+        ("straße café", 2),
+        ("x!!, y", 3),               # "x", "!!,", " y"
+        ("", 0),
+        ("   ", 1),                  # one whitespace run
+        ("tab\tnl\n", 4),            # "tab", "\t", "nl", "\n"
+        ("3.14", 3),                 # "3", ".", "14"
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(cases)), "text": [c[0] for c in cases]})
+    )
+    got = {
+        r.i: r.n
+        for r in df.select("i", token_count_bpe(F.col("text")).alias("n")).collect()
+    }
+    # independent scanner from the oracle builder
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from scripts.build_oracles import _bpe_token_count_scalar
+
+    for i, (text, expected) in enumerate(cases):
+        scan = _bpe_token_count_scalar(text)
+        assert got[i] == scan, (text, got[i], scan)
+    # spot-check a few hand-derived counts
+    assert got[0] == 2 and got[1] == 6 and got[6] == 0 and got[7] == 1
