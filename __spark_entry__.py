@@ -475,6 +475,11 @@ def q_tile_encode(spark, sf_dir):
 
     imgs = _events_images(spark, sf_dir)
     tiles = materialize_tiles(imgs, [2, 4, 6], with_mvt_baseline=False)
+    # NOTE: measured A/B at sf0.1 — a .persist() before this global sort
+    # costs 14-53s (cache population contends with execution memory for
+    # the UDF stages) while the plain sort chain runs in ~10s (the range
+    # sampler reuses the materialized hash-exchange outputs, so the
+    # pre-shuffle work is not recomputed); keep the plain chain
     return decode_tiles(tiles).orderBy("z", "x", "y", "feature_id")
 
 

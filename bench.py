@@ -61,6 +61,18 @@ def main() -> None:
     spark.range(0, int(cpus) * 4, numPartitions=int(cpus) * 4).mapInPandas(
         _warm, schema="x long"
     ).count()
+    # ... and the JVM side: one tiny shuffle + sort warms whole-stage
+    # codegen, the exchange machinery, and JIT for the hot paths, so the
+    # first timed query doesn't absorb JVM cold-start either
+    from pyspark.sql import functions as _F
+
+    (
+        spark.range(0, 100_000, numPartitions=int(cpus))
+        .groupBy((_F.col("id") % 97).alias("k"))
+        .agg(_F.count("*").alias("n"), _F.sum("id").alias("s"))
+        .orderBy("k")
+        .count()
+    )
 
     for name in headline:
         spark.catalog.clearCache()  # isolate queries: no cross-query cached
