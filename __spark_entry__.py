@@ -870,6 +870,40 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-safe salted equi-join (pipeline/skew.py salted_join): orders
+    x customer with the small side replicated per salt — row-identical
+    to the plain join, which is exactly what the DuckDB twin runs."""
+    from cov_tiles_spark.pipeline.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    return (
+        salted_join(o, c, ["o_custkey"], factor=8, salt_from="o_orderkey")
+        .select("o_orderkey", "o_custkey", "c_nationkey")
+        .orderBy("o_orderkey")
+    )
+
+
+def q_windowed_tile_counts(spark, sf_dir):
+    """Event-time tumbling-window per-tile counts — the batch twin of the
+    streaming definition (streaming/windowed.py tile_counts_windowed runs
+    unchanged on batch or stream; §2.9). DuckDB twin uses time_bucket."""
+    from cov_tiles_spark.streaming.windowed import tile_counts_windowed
+
+    e = _t(spark, sf_dir, "events")
+    pts = e.select(
+        "ts",
+        _lon(F.col("event_id")).alias("lon"),
+        _lat(F.col("event_id")).alias("lat"),
+    )
+    return tile_counts_windowed(pts, zoom=4, window_duration="1 hour").orderBy(
+        "win_start", "x", "y"
+    )
+
+
 def q_audio_features(spark, sf_dir):
     """Audio decode + feature extraction over the deterministic pcm16
     corpus (operators/av.py): integer-exact per-asset features (sample
@@ -952,6 +986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_features": q_audio_features,
         "q_frame_sample": q_frame_sample,
         "q_resize": q_resize,
+        "q_salted_join": q_salted_join,
+        "q_windowed_tile_counts": q_windowed_tile_counts,
         "q_bbox_join": q_bbox_join,
         "q_asof_join": q_asof_join,
     }
@@ -1357,6 +1393,24 @@ def oracle_sql() -> dict[str, str]:
               ON p.lon >= b.lon_min AND p.lon <= b.lon_max
              AND p.lat >= b.lat_min AND p.lat <= b.lat_max
             ORDER BY event_id, box_id
+        """,
+        "q_salted_join": """
+            SELECT o_orderkey, o_custkey, c_nationkey
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey
+        """,
+        "q_windowed_tile_counts": f"""
+            WITH p AS (
+              SELECT ts, {_LON_E} AS lon, {_LAT_E} AS lat FROM events),
+            t AS (
+              SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+                     4 AS z,
+                     cast(least(15, greatest(0, floor({_MX_SQL.format(lon="lon")} * 16))) as int) AS x,
+                     cast(least(15, greatest(0, floor({_MY_SQL.format(lat="lat")} * 16))) as int) AS y
+              FROM p)
+            SELECT win_start, z, x, y, count(*) AS n_points
+            FROM t GROUP BY win_start, z, x, y
+            ORDER BY win_start, x, y
         """,
         "q_asof_join": """
             WITH m AS (
