@@ -37,31 +37,56 @@ def ops_per_sec(fn, arg, min_sec=3.0) -> float:
     return n / (time.perf_counter() - t0)
 
 
+_HEADER = (
+    "## Decode throughput parity (reference protocol: ops/sec on "
+    "pinned tiles, single-threaded)"
+)
+
+
+def _replace_section(path: str, header: str, body: str) -> None:
+    """Replace the section starting at ``header`` (through the next
+    '## ' heading) or append it if absent."""
+    text = open(path).read()
+    i = text.find(header)
+    if i < 0:
+        open(path, "a").write("\n" + body)
+        return
+    j = text.find("\n## ", i + len(header))
+    tail = text[j:] if j >= 0 else ""
+    open(path, "w").write(text[:i] + body + tail)
+
+
 def main() -> None:
+    from cov_tiles_spark.covt.genb import decode_tile_genb
+    from cov_tiles_spark.pipeline.transcode import mvt_to_genb
+
     lines = [
-        "\n## Decode throughput parity (reference protocol: ops/sec on "
-        "pinned tiles, single-threaded)\n",
-        "| tile | COVT ops/s | MVT ops/s | ratio (ours) | ratio (reference) |",
-        "|---|---|---|---|---|",
+        _HEADER + "\n",
+        "| tile | COVT gen-A ops/s | gen-B ops/s | MVT ops/s | "
+        "ratio gen-A (ours) | ratio (reference) |",
+        "|---|---|---|---|---|---|",
     ]
     for rel, zlabel, mvt_ext in TILES:
         base = f"/root/reference/parser/js/data/{rel}"
         covt = open(base + ".covt", "rb").read()
         mvt = open(base + mvt_ext, "rb").read()
+        genb_payload, tilejson, _, _ = mvt_to_genb(mvt)
         c_ops = ops_per_sec(decode_covt, covt)
+        g_ops = ops_per_sec(lambda b: decode_tile_genb(b, tilejson), genb_payload)
         m_ops = ops_per_sec(decode_mvt, mvt)
         lines.append(
-            f"| {rel} ({zlabel}) | {c_ops:.1f} | {m_ops:.1f} | "
+            f"| {rel} ({zlabel}) | {c_ops:.1f} | {g_ops:.1f} | {m_ops:.1f} | "
             f"{c_ops / m_ops:.2f}x | {REF_RATIO[zlabel]}x |"
         )
     lines.append(
-        "\nBoth decoders are ours (numpy-vectorized COVT vs our spec-built "
-        "MVT reader), mirroring the reference's same-runtime comparison "
-        "(their TS COVT decoder vs mapbox's TS MVT decoder).\n"
+        "\nAll decoders are ours (numpy-vectorized COVT gen-A/gen-B vs our "
+        "spec-built MVT reader), mirroring the reference's same-runtime "
+        "comparison (their TS COVT decoder vs mapbox's TS MVT decoder). "
+        "The gen-B tile is our transcode of the same MVT (no golden gen-B "
+        "binaries exist in the reference).\n"
     )
     out = "\n".join(lines)
-    with open("BENCH/BASELINE.md", "a") as f:
-        f.write(out)
+    _replace_section("BENCH/BASELINE.md", _HEADER, out)
     print(out)
 
 
