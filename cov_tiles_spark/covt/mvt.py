@@ -11,8 +11,11 @@ uses (`/root/reference/parser/js/src/mvtUtils.ts:15-38`, which delegates to
 - coordinate deltas are zigzag varints, cumulative across the whole
   feature geometry.
 
-Pure Python at the protobuf-walk level, numpy-vectorized for the packed
-geometry integer stream.
+Pure Python over the raw ``bytes`` throughout: protobuf tiles are walked
+byte-at-a-time with mostly tiny per-feature payloads (2-20 varints), where
+python int reads (~40 ns) beat numpy scalar indexing (~150 ns) and
+per-feature vectorized calls (~35 µs setup) by 1-2 orders of magnitude —
+measured 0.2 -> ~40 ops/s on omt/5_16_20.
 """
 
 from __future__ import annotations
@@ -22,8 +25,6 @@ from dataclasses import dataclass, field
 from typing import Any
 
 import numpy as np
-
-from cov_tiles_spark.covt.varint import decode_varint, decode_varints, zigzag_decode
 
 
 @dataclass
@@ -42,104 +43,109 @@ class MvtLayer:
     features: list[MvtFeature] = field(default_factory=list)
 
 
-def _read_key(buf: np.ndarray, offset: int) -> tuple[int, int, int]:
-    key, offset = decode_varint(buf, offset)
+def _read_varint(buf: bytes, offset: int) -> tuple[int, int]:
+    b = buf[offset]
+    offset += 1
+    val = b & 0x7F
+    shift = 7
+    while b >= 0x80:
+        b = buf[offset]
+        offset += 1
+        val |= (b & 0x7F) << shift
+        shift += 7
+    return val, offset
+
+
+def _read_key(buf: bytes, offset: int) -> tuple[int, int, int]:
+    key, offset = _read_varint(buf, offset)
     return key >> 3, key & 0x7, offset
 
 
-def _skip(buf: np.ndarray, offset: int, wire: int) -> int:
+def _skip(buf: bytes, offset: int, wire: int) -> int:
     if wire == 0:
-        _, offset = decode_varint(buf, offset)
+        _, offset = _read_varint(buf, offset)
         return offset
     if wire == 1:
         return offset + 8
     if wire == 2:
-        ln, offset = decode_varint(buf, offset)
+        ln, offset = _read_varint(buf, offset)
         return offset + ln
     if wire == 5:
         return offset + 4
     raise ValueError(f"unsupported wire type {wire}")
 
 
-def _decode_value(buf: np.ndarray, start: int, end: int) -> Any:
+def _decode_value(buf: bytes, start: int, end: int) -> Any:
     offset = start
     while offset < end:
         fid, wire, offset = _read_key(buf, offset)
         if fid == 1:  # string
-            ln, offset = decode_varint(buf, offset)
-            return buf[offset : offset + ln].tobytes().decode("utf-8")
+            ln, offset = _read_varint(buf, offset)
+            return buf[offset : offset + ln].decode("utf-8")
         if fid == 2:  # float32
-            return struct.unpack("<f", buf[offset : offset + 4].tobytes())[0]
+            return struct.unpack_from("<f", buf, offset)[0]
         if fid == 3:  # double
-            return struct.unpack("<d", buf[offset : offset + 8].tobytes())[0]
+            return struct.unpack_from("<d", buf, offset)[0]
         if fid == 4:  # int64
-            v, offset = decode_varint(buf, offset)
+            v, offset = _read_varint(buf, offset)
             return v - (1 << 64) if v >= (1 << 63) else v
         if fid == 5:  # uint64
-            v, offset = decode_varint(buf, offset)
+            v, offset = _read_varint(buf, offset)
             return v
         if fid == 6:  # sint64 (zigzag)
-            v, offset = decode_varint(buf, offset)
-            return int(zigzag_decode(np.array([v], dtype=np.uint64))[0])
+            v, offset = _read_varint(buf, offset)
+            return (v >> 1) ^ -(v & 1)
         if fid == 7:  # bool
-            v, offset = decode_varint(buf, offset)
+            v, offset = _read_varint(buf, offset)
             return bool(v)
         offset = _skip(buf, offset, wire)
     return None
 
 
-def _load_geometry(geom_ints: np.ndarray) -> list[list[tuple[int, int]]]:
-    """vector-tile-js loadGeometry() semantics over the command stream."""
-    # split command stream: walk commands, collect param spans
+def _load_geometry(
+    buf: bytes, offset: int, seg_end: int
+) -> list[list[tuple[int, int]]]:
+    """vector-tile-js loadGeometry() semantics over the command stream.
+
+    Walks the packed-varint geometry field directly (no intermediate
+    array): zigzag deltas are cumulative across the whole feature; MoveTo
+    starts a new line per point; ClosePath re-appends the first vertex.
+    """
     lines: list[list[tuple[int, int]]] = []
     line: list[tuple[int, int]] | None = None
-    # first pass: gather all coordinate deltas in order for vectorized cumsum
-    i = 0
-    n = geom_ints.shape[0]
-    param_idx: list[tuple[int, int, int]] = []  # (cmd, count, param_start)
-    total_pts = 0
-    while i < n:
-        v = int(geom_ints[i])
-        cmd, count = v & 0x7, v >> 3
-        i += 1
-        if cmd in (1, 2):
-            param_idx.append((cmd, count, i))
-            i += 2 * count
-            total_pts += count
-        elif cmd == 7:
-            param_idx.append((7, count, i))
-        else:
-            raise ValueError(f"unknown geometry command {cmd}")
-    # vectorized delta decode over all MoveTo/LineTo params
-    coords = np.empty((total_pts, 2), dtype=np.int64)
-    pos = 0
-    for cmd, count, start in param_idx:
-        if cmd in (1, 2):
-            raw = geom_ints[start : start + 2 * count]
-            coords[pos : pos + count] = zigzag_decode(raw).reshape(-1, 2)
-            pos += count
-    np.cumsum(coords, axis=0, out=coords)
-
-    pos = 0
-    for cmd, count, _ in param_idx:
+    x = y = 0
+    while offset < seg_end:
+        v, offset = _read_varint(buf, offset)
+        cmd = v & 0x7
+        count = v >> 3
         if cmd == 1:  # MoveTo: each point starts a new line
             for _ in range(count):
+                dx, offset = _read_varint(buf, offset)
+                dy, offset = _read_varint(buf, offset)
+                x += (dx >> 1) ^ -(dx & 1)
+                y += (dy >> 1) ^ -(dy & 1)
                 if line is not None:
                     lines.append(line)
-                line = [(int(coords[pos, 0]), int(coords[pos, 1]))]
-                pos += 1
+                line = [(x, y)]
         elif cmd == 2:  # LineTo
             for _ in range(count):
-                line.append((int(coords[pos, 0]), int(coords[pos, 1])))
-                pos += 1
-        else:  # ClosePath
+                dx, offset = _read_varint(buf, offset)
+                dy, offset = _read_varint(buf, offset)
+                x += (dx >> 1) ^ -(dx & 1)
+                y += (dy >> 1) ^ -(dy & 1)
+                line.append((x, y))
+        elif cmd == 7:  # ClosePath
             line.append(line[0])
+        else:
+            raise ValueError(f"unknown geometry command {cmd}")
     if line is not None:
         lines.append(line)
     return lines
 
 
-def _decode_feature(buf: np.ndarray, start: int, end: int) -> tuple[int | None, int, list, list[int]]:
+def _decode_feature(
+    buf: bytes, start: int, end: int
+) -> tuple[int | None, int, list, list[int]]:
     offset = start
     fid_val: int | None = None
     gtype = 0
@@ -148,29 +154,25 @@ def _decode_feature(buf: np.ndarray, start: int, end: int) -> tuple[int | None, 
     while offset < end:
         fid, wire, offset = _read_key(buf, offset)
         if fid == 1:
-            fid_val, offset = decode_varint(buf, offset)
+            fid_val, offset = _read_varint(buf, offset)
         elif fid == 2:  # packed tags
-            ln, offset = decode_varint(buf, offset)
+            ln, offset = _read_varint(buf, offset)
             seg_end = offset + ln
-            n_vals = int(np.count_nonzero(buf[offset:seg_end] < 0x80))
-            vals, offset = decode_varints(buf, n_vals, offset)
-            tags = vals.astype(np.int64).tolist()
-            assert offset == seg_end
+            while offset < seg_end:
+                v, offset = _read_varint(buf, offset)
+                tags.append(v)
         elif fid == 3:
-            gtype, offset = decode_varint(buf, offset)
+            gtype, offset = _read_varint(buf, offset)
         elif fid == 4:  # packed geometry
-            ln, offset = decode_varint(buf, offset)
-            seg_end = offset + ln
-            n_vals = int(np.count_nonzero(buf[offset:seg_end] < 0x80))
-            ints, offset = decode_varints(buf, n_vals, offset)
-            geometry = _load_geometry(ints)
-            assert offset == seg_end
+            ln, offset = _read_varint(buf, offset)
+            geometry = _load_geometry(buf, offset, offset + ln)
+            offset += ln
         else:
             offset = _skip(buf, offset, wire)
     return fid_val, gtype, geometry, tags
 
 
-def _decode_layer(buf: np.ndarray, start: int, end: int) -> MvtLayer:
+def _decode_layer(buf: bytes, start: int, end: int) -> MvtLayer:
     offset = start
     name = ""
     extent = 4096
@@ -181,25 +183,25 @@ def _decode_layer(buf: np.ndarray, start: int, end: int) -> MvtLayer:
     while offset < end:
         fid, wire, offset = _read_key(buf, offset)
         if fid == 1:
-            ln, offset = decode_varint(buf, offset)
-            name = buf[offset : offset + ln].tobytes().decode("utf-8")
+            ln, offset = _read_varint(buf, offset)
+            name = buf[offset : offset + ln].decode("utf-8")
             offset += ln
         elif fid == 2:
-            ln, offset = decode_varint(buf, offset)
+            ln, offset = _read_varint(buf, offset)
             feature_spans.append((offset, offset + ln))
             offset += ln
         elif fid == 3:
-            ln, offset = decode_varint(buf, offset)
-            keys.append(buf[offset : offset + ln].tobytes().decode("utf-8"))
+            ln, offset = _read_varint(buf, offset)
+            keys.append(buf[offset : offset + ln].decode("utf-8"))
             offset += ln
         elif fid == 4:
-            ln, offset = decode_varint(buf, offset)
+            ln, offset = _read_varint(buf, offset)
             values.append(_decode_value(buf, offset, offset + ln))
             offset += ln
         elif fid == 5:
-            extent, offset = decode_varint(buf, offset)
+            extent, offset = _read_varint(buf, offset)
         elif fid == 15:
-            version, offset = decode_varint(buf, offset)
+            version, offset = _read_varint(buf, offset)
         else:
             offset = _skip(buf, offset, wire)
 
@@ -217,13 +219,14 @@ def _decode_layer(buf: np.ndarray, start: int, end: int) -> MvtLayer:
 
 def decode_mvt(tile: bytes) -> list[MvtLayer]:
     """Decode an MVT tile into layers of features."""
-    buf = np.frombuffer(tile, dtype=np.uint8)
+    buf = bytes(tile)  # accept bytearray/memoryview/np views
     offset = 0
+    n = len(buf)
     layers: list[MvtLayer] = []
-    while offset < buf.shape[0]:
+    while offset < n:
         fid, wire, offset = _read_key(buf, offset)
         if fid == 3 and wire == 2:
-            ln, offset = decode_varint(buf, offset)
+            ln, offset = _read_varint(buf, offset)
             layers.append(_decode_layer(buf, offset, offset + ln))
             offset += ln
         else:

@@ -119,28 +119,99 @@ def encode_pfor(values: np.ndarray, zigzag: bool = False, delta: bool = False) -
     return b"".join(parts)
 
 
+_WITHIN = np.arange(BLOCK, dtype=np.int64)
+
+
 def decode_pfor(
     buf: np.ndarray, n: int, offset: int = 0, zigzag: bool = False, delta: bool = False
 ) -> tuple[np.ndarray, int]:
-    """Decode ``n`` values; returns (int64 array, new offset)."""
+    """Decode ``n`` values; returns (int64 array, new offset).
+
+    All full blocks' low lanes decode in ONE vectorized byte-gather pass
+    (value i of a width-``w`` block starting at byte ``s`` lives at bit
+    ``i*w`` of the payload: gather 8 bytes from ``s + i*w//8``, shift by
+    ``i*w % 8``, mask ``w`` bits) — the per-block ``np.unpackbits`` path
+    paid ~15 µs/block of numpy setup, dominating gen-B decode profiles.
+    Widths > 56 bits cannot be windowed in a uint64 after the bit offset
+    shift and fall back to the per-block path (never emitted for tile
+    data, which is < 2^35 after zigzag).
+    """
     u = np.empty(n, dtype=np.uint64)
     n_full = (n // BLOCK) * BLOCK
-    for s in range(0, n_full, BLOCK):
-        bestb = int(buf[offset])
-        cexcept = int(buf[offset + 1])
-        offset += 2
-        maxb = bestb
-        exc_pos = None
-        if cexcept:
-            maxb = int(buf[offset])
-            offset += 1
-            exc_pos = buf[offset : offset + cexcept].astype(np.int64)
-            offset += cexcept
-        block, offset = _unpack_bits(buf, offset, BLOCK, bestb)
-        if cexcept:
-            high, offset = _unpack_bits(buf, offset, cexcept, maxb - bestb)
-            block[exc_pos] |= high << np.uint64(bestb)
-        u[s : s + BLOCK] = block
+    nblocks = n_full // BLOCK
+    if nblocks:
+        widths = np.empty(nblocks, dtype=np.int64)
+        starts = np.empty(nblocks, dtype=np.int64)
+        exc: list[tuple] = []  # (block_idx, exc_pos u8 view, bestb, highw, high_at)
+        hdr = memoryview(buf)  # scalar reads ~3x faster than numpy indexing
+        for i in range(nblocks):
+            bestb = hdr[offset]
+            cexcept = hdr[offset + 1]
+            offset += 2
+            if cexcept:
+                maxb = hdr[offset]
+                offset += 1
+                exc_pos = buf[offset : offset + cexcept]
+                offset += cexcept
+            widths[i] = bestb
+            starts[i] = offset
+            offset += (BLOCK * bestb + 7) >> 3
+            if cexcept:
+                exc.append((i, exc_pos, bestb, maxb - bestb, offset))
+                offset += (cexcept * (maxb - bestb) + 7) >> 3
+        maxw = int(widths.max())
+        if maxw <= 56:
+            w_rep = np.repeat(widths, BLOCK)
+            bitpos = np.tile(_WITHIN, nblocks) * w_rep
+            byte_idx = np.repeat(starts, BLOCK) + (bitpos >> 3)
+            acc = np.zeros(n_full, dtype=np.uint64)
+            last = buf.shape[0] - 1
+            for k in range((maxw + 14) >> 3):  # bit_off<=7 + width, rounded up
+                acc |= buf[np.minimum(byte_idx + k, last)].astype(
+                    np.uint64
+                ) << np.uint64(8 * k)
+            u[:n_full] = (acc >> (bitpos & 7).astype(np.uint64)) & (
+                (np.uint64(1) << w_rep.astype(np.uint64)) - np.uint64(1)
+            )
+        else:  # >56-bit lanes: per-block unpack (cold path)
+            for i in range(nblocks):
+                block, _ = _unpack_bits(buf, int(starts[i]), BLOCK, int(widths[i]))
+                u[i * BLOCK : (i + 1) * BLOCK] = block
+        if exc:  # batch the exception lanes with the same byte-gather
+            e_ns = np.array([e[1].shape[0] for e in exc], dtype=np.int64)
+            e_low = np.array([e[2] for e in exc], dtype=np.int64)
+            e_ws = np.array([e[3] for e in exc], dtype=np.int64)
+            e_starts = np.array([e[4] for e in exc], dtype=np.int64)
+            pos = np.concatenate(
+                [e[1] for e in exc]
+            ).astype(np.int64) + np.repeat(
+                np.array([e[0] for e in exc], dtype=np.int64) * BLOCK, e_ns
+            )
+            e_maxw = int(e_ws.max())
+            if e_maxw <= 56:
+                tot = int(e_ns.sum())
+                within = np.arange(tot, dtype=np.int64) - np.repeat(
+                    np.cumsum(e_ns) - e_ns, e_ns
+                )
+                w_rep = np.repeat(e_ws, e_ns)
+                bitpos = within * w_rep
+                byte_idx = np.repeat(e_starts, e_ns) + (bitpos >> 3)
+                acc = np.zeros(tot, dtype=np.uint64)
+                last = buf.shape[0] - 1
+                for k in range((e_maxw + 14) >> 3):
+                    acc |= buf[np.minimum(byte_idx + k, last)].astype(
+                        np.uint64
+                    ) << np.uint64(8 * k)
+                high = (acc >> (bitpos & 7).astype(np.uint64)) & (
+                    (np.uint64(1) << w_rep.astype(np.uint64)) - np.uint64(1)
+                )
+                u[pos] |= high << np.repeat(e_low, e_ns).astype(np.uint64)
+            else:
+                at = 0
+                for i, exc_pos, bestb, highw, high_at in exc:
+                    high, _ = _unpack_bits(buf, high_at, exc_pos.shape[0], highw)
+                    u[pos[at : at + exc_pos.shape[0]]] |= high << np.uint64(bestb)
+                    at += exc_pos.shape[0]
     if n_full < n:
         tail, offset = decode_varints(buf, n - n_full, offset)
         u[n_full:] = tail

@@ -45,28 +45,50 @@ def decode_int_rle(
     block, dominating literal-heavy streams.
     """
     out = np.empty(n, dtype=np.int64 if signed else np.uint64)
+    if not buf.flags.c_contiguous:
+        buf = np.ascontiguousarray(buf)
+    hdr = memoryview(buf)  # scalar reads ~3x faster than numpy indexing
     # absolute positions of varint terminator bytes (headers/deltas may
-    # coincide; block walking below skips past them with searchsorted)
-    term = offset + np.flatnonzero(buf[offset : offset + 10 * n + 2 * n + 16] < 0x80)
+    # coincide; block walking below skips past them with searchsorted);
+    # computed lazily at the first literal block — pure-run streams
+    # (topology offsets) never pay the window scan
+    term: np.ndarray | None = None
     lit_starts: list[np.ndarray] = []
     lit_ends: list[np.ndarray] = []
     lit_out: list[int] = []
+    r_out: list[int] = []
+    r_len: list[int] = []
+    r_delta: list[int] = []
+    r_first: list[int] = []
     count = 0
     while count < n:
-        header = int(buf[offset])
+        header = hdr[offset]
         offset += 1
         if header <= 0x7F:
-            run = header + 3
-            delta = int(np.int8(buf[offset]))
+            d = hdr[offset]
             offset += 1
-            first, offset = decode_varint(buf, offset)
-            if signed:
-                first = (first >> 1) ^ -(first & 1)
-            out[count : count + run] = first + np.arange(run, dtype=np.int64) * delta
-            count += run
+            b = hdr[offset]
+            offset += 1
+            val = b & 0x7F
+            shift = 7
+            while b >= 0x80:
+                b = hdr[offset]
+                offset += 1
+                val |= (b & 0x7F) << shift
+                shift += 7
+            r_out.append(count)
+            r_len.append(header + 3)
+            r_delta.append(d - 256 if d >= 128 else d)
+            r_first.append(val & 0xFFFFFFFFFFFFFFFF)
+            count += header + 3
         else:
             lit = 256 - header
-            ti = int(np.searchsorted(term, offset))
+            if term is None:
+                left = n - count
+                term = offset + np.flatnonzero(
+                    buf[offset : offset + 12 * left + 16] < 0x80
+                )
+            ti = int(term.searchsorted(offset))
             ends = term[ti : ti + lit]
             starts = np.empty(lit, dtype=np.int64)
             starts[0] = offset
@@ -76,6 +98,22 @@ def decode_int_rle(
             lit_out.append(count)
             offset = int(ends[-1]) + 1
             count += lit
+    if r_out:  # all runs fill in one vectorized pass
+        lens = np.array(r_len, dtype=np.int64)
+        firsts = np.array(r_first, dtype=np.uint64)
+        if signed:
+            firsts = zigzag_decode(firsts)
+        tot = int(lens.sum())
+        within = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        step = within * np.repeat(np.array(r_delta, dtype=np.int64), lens)
+        vals = (
+            np.repeat(firsts, lens) + step
+            if signed
+            else np.repeat(firsts, lens) + step.astype(np.uint64)
+        )
+        out[np.repeat(np.array(r_out, dtype=np.int64), lens) + within] = vals
     if lit_starts:
         starts = np.concatenate(lit_starts)
         ends = np.concatenate(lit_ends)
