@@ -15,7 +15,7 @@ Pure Python over the raw ``bytes`` throughout: protobuf tiles are walked
 byte-at-a-time with mostly tiny per-feature payloads (2-20 varints), where
 python int reads (~40 ns) beat numpy scalar indexing (~150 ns) and
 per-feature vectorized calls (~35 µs setup) by 1-2 orders of magnitude —
-measured 0.2 -> ~40 ops/s on omt/5_16_20.
+measured 0.2 -> 2.3 ops/s on omt/5_16_20 (pinned single core).
 """
 
 from __future__ import annotations
