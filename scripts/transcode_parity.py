@@ -12,10 +12,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REF_REDUCTION = {2: 36, 3: 29, 4: 71, 5: 74, 6: 69, 7: 68, 8: 68}
 
+_HEADER = "## MVT→COVT transcode parity (reference's own OMT golden tiles)"
+
+
+def _replace_section(path: str, header: str, body: str) -> None:
+    """Replace the section starting at ``header`` (through the next
+    '## ' heading) or append it if absent."""
+    text = open(path).read()
+    i = text.find(header)
+    if i < 0:
+        open(path, "a").write("\n" + body)
+        return
+    j = text.find("\n## ", i + len(header))
+    tail = text[j:] if j >= 0 else ""
+    open(path, "w").write(text[:i] + body + tail)
+
 
 def main() -> None:
+    import glob
+    import os
+
     from cov_tiles_spark.session import get_spark
     from cov_tiles_spark.pipeline.transcode import transcode_mvt_directory
+
+    # the reference repo commits its converter's actual output next to each
+    # golden MVT — the honest tile-for-tile target (the README's published
+    # per-zoom numbers were measured on a different, larger corpus)
+    ref_actual: dict[int, float] = {}
+    for p in glob.glob("/root/reference/parser/js/data/omt/*.covt"):
+        z = int(os.path.basename(p).split("_")[0])
+        mvt = p[:-5] + ".mvt"
+        ref_actual[z] = (1 - os.path.getsize(p) / os.path.getsize(mvt)) * 100
 
     spark = get_spark(master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -24,22 +51,29 @@ def main() -> None:
     ).collect()
 
     lines = [
-        "\n## MVT→COVT transcode parity (reference's own OMT golden tiles)\n",
+        _HEADER + "\n",
         "Reduction = 1 - covt/mvt (the reference's formula, "
-        "CovtConverterTest.java:285); reference column = README.md:23-29 "
-        "'Reduction 1' (RLE). Every tile round-trip-verified inline, in "
-        "BOTH wire formats (gen-A fixture-conformant; gen-B current format "
-        "with nibble-packed metadata + TileJSON names + FastPFOR-style "
+        "CovtConverterTest.java:285). 'ref actual' = the reference "
+        "converter's own committed .covt next to each golden MVT — the "
+        "tile-for-tile target; 'ref published' = README.md:23-29 "
+        "'Reduction 1' (RLE), measured on a different, larger corpus. "
+        "Every tile round-trip-verified inline, in BOTH wire formats "
+        "(gen-A fixture-conformant; gen-B current format with "
+        "nibble-packed metadata + TileJSON names + FastPFOR-style "
         "streams, covt/genb.py).\n",
-        "| zoom | gen-A | gen-B | reference | gen-A verified | gen-B verified |",
-        "|---|---|---|---|---|---|",
+        "| zoom | gen-A | gen-B | ref actual | ref published | "
+        "gen-A verified | gen-B verified |",
+        "|---|---|---|---|---|---|---|",
     ]
     for r in sorted(rows, key=lambda r: r.z):
         red_a = (1 - r.covt_bytes / r.mvt_bytes) * 100
         red_b = (1 - r.genb_bytes / r.mvt_bytes) * 100
+        actual = ref_actual.get(r.z)
+        beat = " **(beats)**" if actual is not None and red_b > actual else ""
         lines.append(
-            f"| z{r.z} | {red_a:.1f}% | {red_b:.1f}% | "
-            f"{REF_REDUCTION.get(r.z, '—')}% | {r.verified} | {r.genb_verified} |"
+            f"| z{r.z} | {red_a:.1f}% | {red_b:.1f}%{beat} | "
+            f"{actual:.1f}% | {REF_REDUCTION.get(r.z, '—')}% | "
+            f"{r.verified} | {r.genb_verified} |"
         )
     lines.append(
         "\nGen-B drops the per-tile string names (TileJSON sidecar, "
@@ -48,8 +82,7 @@ def main() -> None:
         "dictionaries, which gen-B (like the reference's converter) "
         "lacks — hence gen-A can still win on name-heavy low zooms.\n"
     )
-    with open("BENCH/BASELINE.md", "a") as f:
-        f.write("\n".join(lines))
+    _replace_section("BENCH/BASELINE.md", _HEADER, "\n".join(lines))
     print("\n".join(lines))
 
 
