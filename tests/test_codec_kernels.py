@@ -288,3 +288,56 @@ class TestEvalCodecs:
                 )
                 assert off == len(enc), (name, zig, dlt)
                 np.testing.assert_array_equal(dec, v, err_msg=name)
+
+    def test_pfor_over_56bit_lanes_and_offset(self):
+        """The vectorized byte-gather decode windows <=56-bit lanes in a
+        uint64; wider blocks and wider exception lanes take the per-block
+        fallback. Exercise both, plus decode at a nonzero offset."""
+        from cov_tiles_spark.covt.pfor import decode_pfor, encode_pfor
+
+        rng = np.random.default_rng(11)
+        cases = {
+            # every lane >56 bits: whole-stream fallback
+            "wide_blocks": (rng.integers(0, 2**62, 300, dtype=np.int64)),
+            # mostly tiny values with a few ~2^60 outliers: exception
+            # lanes wider than 56 bits while low lanes stay vectorized
+            "wide_exceptions": np.where(
+                rng.random(512) < 0.02,
+                rng.integers(2**59, 2**62, 512, dtype=np.int64),
+                rng.integers(0, 16, 512, dtype=np.int64),
+            ),
+            # dense exceptions at moderate width (batched exception path)
+            "dense_exceptions": np.where(
+                rng.random(640) < 0.3,
+                rng.integers(2**20, 2**30, 640, dtype=np.int64),
+                rng.integers(0, 8, 640, dtype=np.int64),
+            ),
+        }
+        for name, v in cases.items():
+            enc = encode_pfor(v)
+            prefix = b"\xaa\xbb\xcc"
+            buf = np.frombuffer(prefix + enc, np.uint8)
+            dec, off = decode_pfor(buf, len(v), offset=len(prefix))
+            assert off == len(prefix) + len(enc), name
+            np.testing.assert_array_equal(dec, v, err_msg=name)
+
+    def test_int_rle_offset_and_noncontiguous(self):
+        """decode_int_rle must handle a nonzero start offset and a
+        non-C-contiguous buffer view (both occur when streams are sliced
+        out of a larger tile buffer)."""
+        from cov_tiles_spark.covt.rle import decode_int_rle, encode_int_rle
+
+        rng = np.random.default_rng(7)
+        v = np.concatenate(
+            [np.repeat(rng.integers(0, 9, 10), 40), rng.integers(0, 10**6, 200)]
+        ).astype(np.int64)
+        enc = encode_int_rle(v, signed=True)
+        buf = np.frombuffer(b"\x00" * 5 + enc, np.uint8)
+        dec, off = decode_int_rle(buf, len(v), offset=5, signed=True)
+        assert off == 5 + len(enc)
+        np.testing.assert_array_equal(dec, v)
+        # non-contiguous view: every other byte of an interleaved buffer
+        inter = np.zeros(2 * len(enc), dtype=np.uint8)
+        inter[0::2] = np.frombuffer(enc, np.uint8)
+        dec2, _ = decode_int_rle(inter[0::2], len(v), signed=True)
+        np.testing.assert_array_equal(dec2, v)
