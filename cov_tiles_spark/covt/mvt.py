@@ -351,3 +351,143 @@ def encode_mvt_layer(
 def encode_mvt(layers: list[tuple[str, list[dict], int]]) -> bytes:
     """Full tile: [(name, features, extent), ...] -> MVT bytes."""
     return b"".join(encode_mvt_layer(n, f, e) for n, f, e in layers)
+
+
+def _varint_len_vec(v: np.ndarray) -> np.ndarray:
+    """Byte length of the LEB128 varint for each (non-negative) value."""
+    u = v.astype(np.uint64)
+    ln = np.ones(u.shape, dtype=np.int64)
+    for shift in range(7, 64, 7):
+        ln += (u >= (np.uint64(1) << np.uint64(shift))).astype(np.int64)
+    return ln
+
+
+def mvt_point_layer_size(
+    name: str,
+    ids: np.ndarray | None,
+    xs: np.ndarray,
+    ys: np.ndarray,
+    properties: dict[str, np.ndarray],
+    extent: int = 4096,
+) -> int:
+    """Exact ``len(encode_mvt([(name, feats, extent)]))`` for a layer of
+    single-point features, computed arithmetically — no byte
+    materialization (the per-value Python varint writer was 87% of the
+    flagship encode kernel's profile, only to take ``len()`` of the
+    result).
+
+    Mirrors :func:`encode_mvt_layer` byte-for-byte: shared key/value
+    tables in interleaved first-appearance order (value identity dedups
+    ACROSS columns — e.g. w == h == 32 share one table entry, exactly as
+    the byte-keyed ``value_idx`` dict does), per-feature zigzag deltas
+    from (0, 0), and identical protobuf framing. Property columns are
+    int64 arrays or object arrays of str. Verified equal to the real
+    writer in tests/test_transcode.py.
+    """
+    import pandas as pd
+
+    n = len(xs)
+    cols = list(properties.items())
+    ncols = len(cols)
+
+    # --- shared value table: per-column factorize, then global dedup in
+    # interleaved first-appearance order (sequence pos = first_row*C + j)
+    int_vals: list[np.ndarray] = []
+    int_pos: list[np.ndarray] = []
+    str_entries: list[tuple[str, int]] = []  # (value, pos)
+    col_codes: list[np.ndarray] = []
+    col_kind: list[str] = []
+    col_uniq: list[np.ndarray] = []
+    for j, (_k, arr) in enumerate(cols):
+        if arr.dtype == object:
+            codes, uniques = pd.factorize(pd.Series(arr), use_na_sentinel=False)
+            first = np.unique(codes, return_index=True)[1]
+            for u_i, s in enumerate(uniques):
+                str_entries.append((s, int(first[u_i]) * ncols + j))
+            col_kind.append("str")
+            col_uniq.append(np.asarray(uniques, dtype=object))
+        else:
+            vals = np.asarray(arr, dtype=np.int64)
+            codes, uniques = pd.factorize(vals)
+            first = np.unique(codes, return_index=True)[1]
+            int_vals.append(uniques.astype(np.int64))
+            int_pos.append(first.astype(np.int64) * ncols + j)
+            col_kind.append("int")
+            col_uniq.append(uniques.astype(np.int64))
+        col_codes.append(np.asarray(codes, dtype=np.int64))
+
+    # dedup int values across columns, keeping the earliest position
+    if int_vals:
+        av = np.concatenate(int_vals)
+        ap = np.concatenate(int_pos)
+        order = np.lexsort((ap, av))
+        sv, sp = av[order], ap[order]
+        keep = np.ones(len(sv), dtype=bool)
+        keep[1:] = sv[1:] != sv[:-1]
+        dedup_vals, dedup_pos = sv[keep], sp[keep]
+    else:
+        dedup_vals = np.empty(0, dtype=np.int64)
+        dedup_pos = np.empty(0, dtype=np.int64)
+    sdict: dict[str, int] = {}
+    for s, pos in str_entries:
+        if s not in sdict or pos < sdict[s]:
+            sdict[s] = pos
+    s_list = list(sdict.items())
+
+    # final table order = ascending first-appearance position
+    all_pos = np.concatenate(
+        [dedup_pos, np.array([p for _, p in s_list], dtype=np.int64)]
+    )
+    vi_all = np.empty(len(all_pos), dtype=np.int64)
+    vi_all[np.argsort(all_pos, kind="stable")] = np.arange(len(all_pos))
+    vi_int = vi_all[: len(dedup_vals)]
+    vi_str = {s: int(vi_all[len(dedup_vals) + i]) for i, (s, _) in enumerate(s_list)}
+
+    # --- per-row tag varint lengths (key index < 16 -> always 1 byte)
+    tags_len = np.full(n, ncols, dtype=np.int64)
+    for j in range(ncols):
+        if col_kind[j] == "int":
+            col_vi = vi_int[np.searchsorted(dedup_vals, col_uniq[j])]
+        else:
+            col_vi = np.array([vi_str[s] for s in col_uniq[j]], dtype=np.int64)
+        tags_len += _varint_len_vec(col_vi[col_codes[j]])
+
+    # --- per-feature geometry and body framing
+    zz_x = (xs.astype(np.int64) << 1) ^ (xs.astype(np.int64) >> 63)
+    zz_y = (ys.astype(np.int64) << 1) ^ (ys.astype(np.int64) >> 63)
+    geom_len = 1 + _varint_len_vec(zz_x) + _varint_len_vec(zz_y)
+    tags_part = (
+        1 + _varint_len_vec(tags_len) + tags_len if ncols else np.int64(0)
+    )
+    body = tags_part + 2 + (1 + _varint_len_vec(geom_len) + geom_len)
+    if ids is not None:
+        body = body + 1 + _varint_len_vec(np.asarray(ids, dtype=np.int64))
+    feats_total = int((1 + _varint_len_vec(body) + body).sum())
+
+    # --- key/value table sections
+    keys_total = sum(
+        1 + int(_varint_len_vec(np.array([len(k.encode())]))[0]) + len(k.encode())
+        for k, _ in cols
+    )
+    neg = dedup_vals < 0
+    enc = np.where(
+        neg, (dedup_vals << 1) ^ (dedup_vals >> 63), dedup_vals
+    )
+    int_vb = 1 + _varint_len_vec(enc)
+    values_total = int((1 + _varint_len_vec(int_vb) + int_vb).sum())
+    for s, _ in s_list:
+        sb = len(s.encode("utf-8"))
+        vb = 1 + int(_varint_len_vec(np.array([sb]))[0]) + sb
+        values_total += 1 + int(_varint_len_vec(np.array([vb]))[0]) + vb
+
+    name_b = len(name.encode("utf-8"))
+    layer_len = (
+        2
+        + (1 + int(_varint_len_vec(np.array([name_b]))[0]) + name_b)
+        + feats_total
+        + keys_total
+        + values_total
+        + 1
+        + int(_varint_len_vec(np.array([extent]))[0])
+    )
+    return 1 + int(_varint_len_vec(np.array([layer_len]))[0]) + layer_len

@@ -36,3 +36,65 @@ def test_transcode_bing_tiles(spark):
     rows = result.collect()
     assert len(rows) == 7
     assert all(r.verified for r in rows)
+
+
+def test_mvt_point_layer_size_matches_writer():
+    """mvt_point_layer_size must equal len(encode_mvt(...)) byte-for-byte:
+    the flagship pipeline reports this as the honest MVT-baseline size
+    without materializing the bytes. Covers cross-column value-table
+    collisions (w == h), negative ints (sint zigzag values), multi-byte
+    value indices (> 127 table entries), and the no-id/no-props edge."""
+    import numpy as np
+
+    from cov_tiles_spark.covt.mvt import encode_mvt, mvt_point_layer_size
+
+    rng = np.random.default_rng(2)
+    for trial in range(25):
+        n = int(rng.integers(1, 500))
+        ids = np.sort(rng.integers(0, 10**9, n))
+        xs = rng.integers(-2048, 6144, n)
+        ys = rng.integers(-2048, 6144, n)
+        caption = np.array(
+            [f"c{int(v)}" for v in rng.integers(0, 200, n)], dtype=object
+        )
+        fmt = np.array(
+            ["raw" if v else "rle" for v in rng.integers(0, 2, n)], dtype=object
+        )
+        w = rng.integers(16, 64, n)
+        h = rng.integers(16, 64, n)
+        phash = rng.integers(-(2**40), 2**40, n)
+        props = {"caption": caption, "fmt": fmt, "w": w, "h": h, "phash": phash}
+        feats = [
+            {
+                "id": int(ids[i]),
+                "geom_type": 1,
+                "parts": [[(int(xs[i]), int(ys[i]))]],
+                "properties": {
+                    "caption": caption[i],
+                    "fmt": fmt[i],
+                    "w": int(w[i]),
+                    "h": int(h[i]),
+                    "phash": int(phash[i]),
+                },
+            }
+            for i in range(n)
+        ]
+        real = len(encode_mvt([("images", feats, 4096)]))
+        fast = mvt_point_layer_size("images", ids, xs, ys, props, 4096)
+        assert real == fast, (trial, n, real, fast)
+
+    for _ in range(5):
+        n = int(rng.integers(1, 50))
+        xs = rng.integers(0, 4096, n)
+        ys = rng.integers(0, 4096, n)
+        feats = [
+            {
+                "id": None,
+                "geom_type": 1,
+                "parts": [[(int(xs[i]), int(ys[i]))]],
+                "properties": {},
+            }
+            for i in range(n)
+        ]
+        real = len(encode_mvt([("p", feats, 8192)]))
+        assert real == mvt_point_layer_size("p", None, xs, ys, {}, 8192)
