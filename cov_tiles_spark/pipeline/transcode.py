@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from cov_tiles_spark.covt.decoder import GeometryColumn, decode_covt
 from cov_tiles_spark.covt.encoder import LayerInput, PropertyInput, encode_tile
 from cov_tiles_spark.covt.metadata import ColumnDataType, GeometryType
-from cov_tiles_spark.covt.mvt import MvtLayer, decode_mvt
+from cov_tiles_spark.covt.mvt import MvtLayer, decode_mvt, encode_mvt
 
 TRANSCODE_SCHEMA = (
     "path string, z int, x int, y int, mvt_bytes long, covt_bytes long, "
@@ -253,6 +253,56 @@ def verify_roundtrip(covt_bytes: bytes, mvt_layers: list[MvtLayer]) -> bool:
     except Exception:
         return False
     return _features_match(decoded, mvt_layers)
+
+
+def covt_to_mvt(
+    covt_bytes: bytes | None = None,
+    *,
+    genb: bytes | None = None,
+    tilejson: dict | None = None,
+    extent: int | dict[str, int] = 4096,
+) -> bytes:
+    """Reverse transcode: a COVT tile (gen-A bytes, or gen-B bytes +
+    TileJSON sidecar) -> MVT bytes, completing the interop matrix (the
+    reference ships only MVT->COVT, `CovtConverter.java:61-140`; a user
+    leaving the format needs the way back).
+
+    Geometry follows loadGeometry semantics both ways (closed polygon
+    rings re-emit ClosePath; multipoints one MoveTo per point), so
+    ``decode_mvt(covt_to_mvt(t)) == decode-features(t)`` exactly; MVT
+    byte layout may differ from any original tile (command grouping is
+    not round-trip-preserved). ``extent`` is an int for all layers or a
+    per-layer dict (gen-A tiles do not store extent; gen-B callers can
+    pass the sidecar's value).
+    """
+    if (covt_bytes is None) == (genb is None):
+        raise ValueError("pass exactly one of covt_bytes or genb")
+    if genb is not None:
+        from cov_tiles_spark.covt.genb import decode_tile_genb
+
+        decoded = decode_tile_genb(genb, tilejson)
+    else:
+        decoded = decode_covt(covt_bytes)
+
+    # OGC type (geometry.ts:1-8; multi-types collapse to their base: MVT
+    # carries multiplicity in the command stream, not the type byte)
+    to_mvt_type = {0: 1, 1: 2, 2: 3, 3: 1, 4: 2, 5: 3}
+    layers = []
+    for name, lay in decoded.items():
+        feats = [
+            {
+                "id": f.get("id"),
+                "geom_type": to_mvt_type[int(f["geometry_type"])],
+                "parts": f["geometry"],
+                "properties": {
+                    k: v for k, v in f["properties"].items() if v is not None
+                },
+            }
+            for f in lay.features()
+        ]
+        ext = extent.get(name, 4096) if isinstance(extent, dict) else extent
+        layers.append((name, feats, ext))
+    return encode_mvt(layers)
 
 
 def _features_match(decoded, mvt_layers: list[MvtLayer]) -> bool:

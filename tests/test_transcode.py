@@ -98,3 +98,93 @@ def test_mvt_point_layer_size_matches_writer():
         ]
         real = len(encode_mvt([("p", feats, 8192)]))
         assert real == mvt_point_layer_size("p", None, xs, ys, {}, 8192)
+
+
+def test_covt_to_mvt_roundtrip_both_formats():
+    """Reverse transcode: MVT -> {gen-A, gen-B} -> MVT must reproduce the
+    original decode exactly (id, geometry type, geometry, properties) on
+    every reference golden tile. MVT byte layout is not preserved
+    (command grouping differs); decoded features are."""
+    import glob
+
+    from cov_tiles_spark.covt.mvt import decode_mvt
+    from cov_tiles_spark.pipeline.transcode import (
+        covt_to_mvt,
+        mvt_to_covt,
+        mvt_to_genb,
+    )
+
+    paths = sorted(glob.glob("/root/reference/parser/js/data/*/*.mvt"))
+    assert len(paths) == 14
+    for p in paths:
+        mvt = open(p, "rb").read()
+        orig = {l.name: l for l in decode_mvt(mvt) if l.features}
+        covt, _, _ = mvt_to_covt(mvt)
+        genb, tilejson, _, _ = mvt_to_genb(mvt)
+        for back_bytes in (
+            covt_to_mvt(covt),
+            covt_to_mvt(genb=genb, tilejson=tilejson),
+        ):
+            back = {l.name: l for l in decode_mvt(back_bytes) if l.features}
+            assert set(orig) == set(back), p
+            for n in orig:
+                assert len(orig[n].features) == len(back[n].features), (p, n)
+                for fa, fb in zip(orig[n].features, back[n].features):
+                    assert fa.geometry == fb.geometry, (p, n)
+                    assert fa.geom_type == fb.geom_type, (p, n)
+                    assert fa.id == fb.id, (p, n)
+                    pa = {k: v for k, v in fa.properties.items() if v is not None}
+                    pb = {k: v for k, v in fb.properties.items() if v is not None}
+                    assert pa == pb, (p, n)
+
+
+def test_covt_to_mvt_exports_reference_tiles():
+    """Export the reference's own committed gen-A tiles back to MVT:
+    geometry must match the paired golden MVT exactly; properties match
+    up to the reference encoder's documented fixture artifacts
+    (`name:xx` renamed `name_xx`, some columns dropped — see
+    tests/test_fixture_conformance.py)."""
+    import glob
+
+    from cov_tiles_spark.covt.mvt import decode_mvt
+    from cov_tiles_spark.pipeline.transcode import covt_to_mvt
+
+    for p in sorted(glob.glob("/root/reference/parser/js/data/omt/*.covt")):
+        mvt_map = {
+            l.name: l
+            for l in decode_mvt(open(p[:-5] + ".mvt", "rb").read())
+            if l.features
+        }
+        out = {
+            l.name: l
+            for l in decode_mvt(covt_to_mvt(open(p, "rb").read()))
+            if l.features
+        }
+        assert set(mvt_map) == set(out), p
+        for n in mvt_map:
+            assert len(mvt_map[n].features) == len(out[n].features), (p, n)
+            # the reference encoder re-sorts some layers by feature id
+            # (CovtConverter.java:556-558) — align by id where present
+            a_feats = mvt_map[n].features
+            b_feats = out[n].features
+            if all(f.id is not None for f in a_feats):
+                key = lambda f: (f.id, f.geometry)  # noqa: E731
+                a_feats = sorted(a_feats, key=key)
+                b_feats = sorted(b_feats, key=key)
+            for fa, fb in zip(a_feats, b_feats):
+                assert fa.geometry == fb.geometry, (p, n)
+                # properties: compare on the intersection after the
+                # fixture encoder's name:xx <-> name_xx rename
+                pb = {
+                    k.replace("name:", "name_"): v
+                    for k, v in fb.properties.items()
+                    if v is not None
+                }
+                for k, v in fa.properties.items():
+                    key = k.replace("name:", "name_")
+                    if v is None or key not in pb:
+                        continue
+                    if isinstance(v, float):
+                        assert abs(float(pb[key]) - v) <= 1e-6 * max(1.0, abs(v))
+                    else:
+                        assert pb[key] == v, (p, n, k)
