@@ -373,3 +373,61 @@ def transcode_mvt_directory(spark: SparkSession, glob_path: str) -> DataFrame:
         .select("path", "content")
     )
     return files.mapInPandas(_transcode_batches, schema=TRANSCODE_SCHEMA)
+
+
+EXPORT_SCHEMA = (
+    "path string, z int, x int, y int, covt_bytes long, mvt_bytes long, "
+    "n_layers int, n_features long, verified boolean, payload binary"
+)
+
+_ZXY_ANY_RE = re.compile(r"(\d+)[_\-/](\d+)[_\-/](\d+)\.covt$")
+
+
+def _export_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for _, row in pdf.iterrows():
+            raw = bytes(row["content"])
+            m = _ZXY_ANY_RE.search(row["path"])
+            z, x, y = (int(m.group(i)) for i in (1, 2, 3)) if m else (-1, -1, -1)
+            mvt = covt_to_mvt(raw)
+            # inline verification: decoded features of the exported MVT
+            # must reproduce the COVT decode geometry-for-geometry
+            src = decode_covt(raw)
+            back = {l.name: l for l in decode_mvt(mvt) if l.features}
+            ok = set(src) == set(back) and all(
+                [f["geometry"] for f in src[n].features()]
+                == [f.geometry for f in back[n].features]
+                for n in src
+            )
+            n_features = sum(len(l.features) for l in back.values())
+            rows.append(
+                {
+                    "path": os.path.basename(row["path"]),
+                    "z": z, "x": x, "y": y,
+                    "covt_bytes": len(raw),
+                    "mvt_bytes": len(mvt),
+                    "n_layers": len(back),
+                    "n_features": n_features,
+                    "verified": ok,
+                    "payload": mvt,
+                }
+            )
+        yield pd.DataFrame(rows) if rows else pd.DataFrame(
+            columns=[c.split()[0] for c in EXPORT_SCHEMA.split(", ")]
+        )
+
+
+def export_covt_directory(spark: SparkSession, glob_path: str) -> DataFrame:
+    """Distributed reverse transcode: every gen-A .covt under
+    ``glob_path`` -> MVT payloads, each export verified inline
+    (one file per task row via the binaryFile source — same scan shape
+    as :func:`transcode_mvt_directory`, so partition pruning and file
+    listing scale identically)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.covt")
+        .load(glob_path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_export_batches, schema=EXPORT_SCHEMA)
