@@ -938,6 +938,37 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified Bernoulli sample over documents
+    (operators/sampling.py): per-source rates via broadcast rate table,
+    keep iff hash(doc_id) < floor(rate * 2^31) — integer-exact and
+    engine-portable, so the DuckDB twin replays the identical formula."""
+    from cov_tiles_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+    return (
+        stratified_sample(
+            d, "source", rates, key_col="doc_id", default_rate=0.1
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_sample_per_group(spark, sf_dir):
+    """Exact-k uniform sample per source (operators/sampling.py
+    sample_per_group): the k smallest key hashes per group with a
+    deterministic rank — prefiltered window with provable fallback. The
+    DuckDB twin is the plain full-window formulation of the same rule."""
+    from cov_tiles_spark.operators.sampling import sample_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_per_group(d, ["source"], 5, "doc_id").orderBy(
+        "source", "rank"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -990,6 +1021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_windowed_tile_counts": q_windowed_tile_counts,
         "q_bbox_join": q_bbox_join,
         "q_asof_join": q_asof_join,
+        "q_stratified_sample": q_stratified_sample,
+        "q_sample_per_group": q_sample_per_group,
     }
 
 
@@ -1421,6 +1454,32 @@ def oracle_sql() -> dict[str, str]:
             FROM l ASOF LEFT JOIN m
               ON l.user_id = m.user_id AND l.ts >= m.ts
             ORDER BY l.event_id
+        """,
+        # identical integer hash formula as operators/sampling.py:
+        # h = ((key % 2^31) * 2654435761 + 1) % 2^31, keep iff h < t
+        "q_stratified_sample": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                ((doc_id % 2147483648) * 2654435761 + 1) % 2147483648 AS h,
+                CASE source
+                  WHEN 'src0' THEN 2147483648
+                  WHEN 'src1' THEN 1073741824
+                  WHEN 'src2' THEN 536870912
+                  WHEN 'src3' THEN 0
+                  ELSE 214748364 END AS t
+              FROM documents)
+            WHERE h < t ORDER BY doc_id
+        """,
+        "q_sample_per_group": """
+            SELECT doc_id, source, rank FROM (
+              SELECT doc_id, source,
+                cast(row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY ((doc_id % 2147483648) * 2654435761 + 1)
+                             % 2147483648, doc_id
+                ) AS int) AS rank
+              FROM documents)
+            WHERE rank <= 5 ORDER BY source, rank
         """,
     }
     # gen-B roundtrip must reproduce the identical feature table

@@ -1,0 +1,138 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus is never trained on whole: pipelines need reproducible
+Bernoulli samples (resumable runs must make identical in/out decisions
+for every row across retries and re-runs), per-source stratified rates
+(mixture weighting), and exact-k per-group samples (balanced eval sets).
+Spark's ``df.sample`` is seed-dependent on partitioning and not
+re-derivable per row, so these use an explicit multiplicative hash of a
+key column instead — pure column arithmetic (whole-stage codegen, no
+UDF, no shuffle for the Bernoulli forms) that any engine can replay
+(the DuckDB oracle twins run the same integer formula).
+
+Design notes for scale:
+- `hash_sample` / `stratified_sample` are map-only: a filter on a hash
+  of the key — no shuffle, no state; stratified rates ride a broadcast
+  join (strata tables are small by definition).
+- `sample_per_group` bounds the per-group window fan-in with a
+  hash-threshold prefilter + provable fallback (same pattern as
+  `spatial/knn.py`): a group only pays a full-group window if the
+  prefilter provably under-collected it.
+- All decisions are integer comparisons (hash < floor(rate * 2^31)) —
+  no float-rounding drift between engines.
+
+Related reference behavior: the evaluation harness samples tiles by
+fixed lists (`IntegerCompressionEvaluation.java:44-63`); deterministic
+hash sampling is the scale-out generalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Knuth multiplicative hash over a 31-bit ring: (key % 2^31) * MIX stays
+# under 2^63, so the arithmetic is exact in int64 on every engine (no
+# overflow even under Spark's ANSI mode)
+_MIX = 2654435761
+_RING = 1 << 31
+
+
+def sample_hash(key: F.Column, seed: int = 0) -> F.Column:
+    """Deterministic uniform hash of a bigint key onto [0, 2^31)."""
+    return ((key % _RING) * F.lit(_MIX) + F.lit(seed * 2_654_435_769 + 1)) % _RING
+
+
+def threshold(rate: float) -> int:
+    """Integer acceptance threshold for a [0, 1] rate."""
+    return int(rate * _RING)
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str, seed: int = 0
+) -> DataFrame:
+    """Reproducible Bernoulli sample: a row is kept iff
+    ``hash(key) < floor(rate * 2^31)`` — the same rows survive on every
+    run, every partitioning, every engine. Map-only (no shuffle)."""
+    return df.filter(sample_hash(F.col(key_col), seed) < F.lit(threshold(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum Bernoulli rates (mixture weighting): keep a row of
+    stratum ``s`` iff ``hash(key) < floor(rates[s] * 2^31)``. The rate
+    table rides a broadcast join, so the plan stays map-only."""
+    spark = df.sparkSession
+    rows = [(k, threshold(v)) for k, v in rates.items()]
+    rdf = spark.createDataFrame(rows, f"{strata_col} string, _thresh long")
+    return (
+        df.join(F.broadcast(rdf), strata_col, "left")
+        .withColumn(
+            "_thresh", F.coalesce(F.col("_thresh"), F.lit(threshold(default_rate)))
+        )
+        .filter(sample_hash(F.col(key_col), seed) < F.col("_thresh"))
+        .drop("_thresh")
+    )
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    key_col: str,
+    seed: int = 0,
+    prefilter: bool = True,
+) -> DataFrame:
+    """Exactly ``min(k, |group|)`` rows per group, chosen uniformly
+    without replacement (the k smallest key hashes — the distributed
+    equivalent of a per-group reservoir), with a deterministic ``rank``.
+
+    With ``prefilter`` (default), group sizes are aggregated once and
+    rows are pre-filtered to ``hash < (8k+64)/n * 2^31`` before the
+    window, so the per-group fan-in is ~8k+64 rows instead of ``n``.
+    Exactness is provable per group: if the prefilter admitted >= k rows
+    for a group, the k smallest hashes overall are among them (every
+    excluded row has a larger hash than every admitted one); only
+    under-collected groups (astronomically rare; probability
+    ~exp(-Theta(k)) by a Chernoff bound) fall back to the full window.
+    """
+    h = sample_hash(F.col(key_col), seed).alias("_h")
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_h"), F.col(key_col))
+
+    def ranked(rows: DataFrame) -> DataFrame:
+        return (
+            rows.withColumn("_rank", F.row_number().over(w))
+            .filter(F.col("_rank") <= k)
+            .withColumnRenamed("_rank", "rank")
+        )
+
+    base = df.withColumn("_h", h)
+    if not prefilter:
+        return ranked(base).drop("_h")
+
+    counts = df.groupBy(*group_cols).agg(F.count("*").alias("_n"))
+    cut = (
+        F.least(
+            F.lit(_RING),
+            (F.lit((8 * k + 64) * _RING) / F.col("_n")).cast("long"),
+        )
+    ).alias("_cut")
+    pre = base.join(F.broadcast(counts.select(*group_cols, cut)), group_cols)
+    cand = ranked(pre.filter(F.col("_h") < F.col("_cut"))).cache()
+    # a group is proven complete if it yielded k rows OR the prefilter
+    # kept the whole group (cut == 2^31 covers n <= 8k+64)
+    complete = (
+        cand.groupBy(*group_cols)
+        .agg(F.count("*").alias("_got"), F.max("_cut").alias("_c"))
+        .filter((F.col("_got") >= k) | (F.col("_c") >= _RING))
+        .select(*group_cols)
+    )
+    good = cand.join(complete, group_cols, "left_semi").drop("_h", "_cut")
+    rest = base.join(complete, group_cols, "left_anti")
+    return good.unionByName(ranked(rest).drop("_h"))

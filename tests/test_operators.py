@@ -311,3 +311,77 @@ def test_bpe_token_count_on_tricky_strings(spark):
         assert got[i] == scan, (text, got[i], scan)
     # spot-check a few hand-derived counts
     assert got[0] == 2 and got[1] == 6 and got[6] == 0 and got[7] == 1
+
+
+class TestSampling:
+    """Deterministic sampling (operators/sampling.py): reproducibility,
+    rate accuracy, stratified rates, and provable exact-k per group."""
+
+    def _docs(self, spark, n=4000, groups=8):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("src"), (F.col("id") % groups).cast("string")).alias(
+                "source"
+            ),
+        )
+
+    def test_hash_sample_deterministic_and_rate(self, spark):
+        from cov_tiles_spark.operators.sampling import hash_sample
+
+        df = self._docs(spark)
+        a = sorted(r.doc_id for r in hash_sample(df, 0.3, "doc_id").collect())
+        b = sorted(
+            r.doc_id
+            for r in hash_sample(df.repartition(13), 0.3, "doc_id").collect()
+        )
+        assert a == b  # partitioning-independent
+        assert abs(len(a) / 4000 - 0.3) < 0.05  # binomial tolerance
+        c = sorted(
+            r.doc_id for r in hash_sample(df, 0.3, "doc_id", seed=1).collect()
+        )
+        assert a != c  # seed changes the draw
+
+    def test_stratified_rates(self, spark):
+        from cov_tiles_spark.operators.sampling import stratified_sample
+
+        df = self._docs(spark)
+        out = stratified_sample(
+            df, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.0},
+            key_col="doc_id", default_rate=0.1,
+        )
+        got = {
+            r.source: r.n
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert got["src0"] == 500  # rate 1.0 keeps everything
+        assert "src2" not in got  # rate 0.0 drops everything
+        assert abs(got["src1"] / 500 - 0.5) < 0.12
+        for s in ("src3", "src4", "src5", "src6", "src7"):
+            assert got.get(s, 0) < 120  # default 0.1
+
+    def test_sample_per_group_exact_k_and_prefilter_equivalence(self, spark):
+        from cov_tiles_spark.operators.sampling import sample_per_group
+
+        df = self._docs(spark, n=6000, groups=5)  # 1200 per group
+        fast = sample_per_group(df, ["source"], 7, "doc_id").collect()
+        slow = sample_per_group(
+            df, ["source"], 7, "doc_id", prefilter=False
+        ).collect()
+        key = lambda r: (r.source, r.rank)  # noqa: E731
+        assert sorted((r.source, r.rank, r.doc_id) for r in fast) == sorted(
+            (r.source, r.rank, r.doc_id) for r in slow
+        )
+        per = {}
+        for r in fast:
+            per[r.source] = per.get(r.source, 0) + 1
+        assert all(v == 7 for v in per.values()) and len(per) == 5
+
+    def test_sample_per_group_small_groups_return_all(self, spark):
+        from cov_tiles_spark.operators.sampling import sample_per_group
+
+        df = self._docs(spark, n=12, groups=4)  # 3 per group < k
+        out = sample_per_group(df, ["source"], 5, "doc_id").collect()
+        per = {}
+        for r in out:
+            per.setdefault(r.source, []).append(r.rank)
+        assert all(sorted(v) == [1, 2, 3] for v in per.values()) and len(per) == 4
