@@ -411,9 +411,9 @@ def decode_tiles(payloads: DataFrame, wire_format: str = "gena") -> DataFrame:
                 }
                 for name in ("caption", "fmt"):
                     pc = lay.properties[name]
-                    rec[name] = np.array(
-                        [pc.dictionary[int(i)] for i in pc.data], dtype=object
-                    )
+                    rec[name] = np.asarray(pc.dictionary, dtype=object)[
+                        pc.data.astype(np.int64)
+                    ]
                 for name in ("w", "h", "phash"):
                     rec[name] = lay.properties[name].data.astype(np.int64)
                 outs.append(pd.DataFrame(rec))
