@@ -48,6 +48,46 @@ def decode_int_rle(
     if not buf.flags.c_contiguous:
         buf = np.ascontiguousarray(buf)
     hdr = memoryview(buf)  # scalar reads ~3x faster than numpy indexing
+    if n <= 256:
+        # small-stream fast path: a pure-Python walk beats the vectorized
+        # machinery's fixed numpy setup below ~256 values (dictionary
+        # length/index streams are mostly tiny — measured 173 RLE streams
+        # per omt gen-B tile, median n < 40)
+        vals: list[int] = []
+        while len(vals) < n:
+            h = hdr[offset]
+            offset += 1
+            if h <= 0x7F:
+                d = hdr[offset]
+                if d >= 128:
+                    d -= 256
+                offset += 1
+                b = hdr[offset]
+                offset += 1
+                first = b & 0x7F
+                shift = 7
+                while b >= 0x80:
+                    b = hdr[offset]
+                    offset += 1
+                    first |= (b & 0x7F) << shift
+                    shift += 7
+                if signed:
+                    first = (first >> 1) ^ -(first & 1)
+                vals.extend(first + i * d for i in range(h + 3))
+            else:
+                for _ in range(256 - h):
+                    b = hdr[offset]
+                    offset += 1
+                    v = b & 0x7F
+                    shift = 7
+                    while b >= 0x80:
+                        b = hdr[offset]
+                        offset += 1
+                        v |= (b & 0x7F) << shift
+                        shift += 7
+                    vals.append(((v >> 1) ^ -(v & 1)) if signed else v)
+        out[:] = vals
+        return out, offset
     # absolute positions of varint terminator bytes (headers/deltas may
     # coincide; block walking below skips past them with searchsorted);
     # computed lazily at the first literal block — pure-run streams
