@@ -89,8 +89,20 @@ def mbtiles_to_parquet(spark: SparkSession, path: str, out: str) -> None:
     read_mbtiles(spark, path).write.partitionBy("z").mode("overwrite").parquet(out)
 
 
-def write_mbtiles(rows: list[tuple[int, int, int, bytes]], path: str) -> None:
-    """Tiny MBTiles writer (tests + local export). rows: (z, x, y, data)."""
+def write_mbtiles(
+    rows: list[tuple[int, int, int, bytes]],
+    path: str,
+    metadata: dict | None = None,
+) -> None:
+    """Tiny MBTiles writer (tests + local export). rows: (z, x, y, data).
+
+    ``metadata`` entries land in the spec's name/value metadata table;
+    dict/list values are JSON-encoded. Gen-B archives store their
+    TileJSON sidecar under the standard ``json`` key (the same
+    externalized-names channel the reference's converter writes,
+    `CovtConverter.java:183-188`), so one .mbtiles file is
+    self-sufficient to decode optimized-metadata tiles.
+    """
     con = sqlite3.connect(path)
     try:
         con.execute(
@@ -105,6 +117,40 @@ def write_mbtiles(rows: list[tuple[int, int, int, bytes]], path: str) -> None:
             "INSERT OR REPLACE INTO tiles VALUES (?,?,?,?)",
             [(z, x, (1 << z) - 1 - y, sqlite3.Binary(d)) for z, x, y, d in rows],
         )
+        if metadata:
+            import json as _json
+
+            con.execute(
+                "CREATE TABLE IF NOT EXISTS metadata (name TEXT, value TEXT)"
+            )
+            con.execute(
+                "CREATE UNIQUE INDEX IF NOT EXISTS metadata_index ON "
+                "metadata (name)"
+            )
+            con.executemany(
+                "INSERT OR REPLACE INTO metadata VALUES (?,?)",
+                [
+                    (
+                        k,
+                        v
+                        if isinstance(v, str)
+                        else _json.dumps(v, separators=(",", ":")),
+                    )
+                    for k, v in metadata.items()
+                ],
+            )
         con.commit()
+    finally:
+        con.close()
+
+
+def read_mbtiles_metadata(path: str) -> dict[str, str]:
+    """The metadata name/value table as a dict ({} if absent)."""
+    con = sqlite3.connect(path)
+    try:
+        try:
+            return dict(con.execute("SELECT name, value FROM metadata"))
+        except sqlite3.OperationalError:
+            return {}
     finally:
         con.close()

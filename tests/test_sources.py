@@ -28,3 +28,36 @@ def test_mbtiles_roundtrip(spark, tmp_path):
     # zoom filter prunes
     z5 = read_mbtiles(spark, db, zooms=[5]).collect()
     assert {(r.z, r.x, r.y) for r in z5} == {(z, x, y) for z, x, y, _ in rows if z == 5}
+
+
+def test_mbtiles_genb_archive_self_sufficient(tmp_path):
+    """A gen-B .mbtiles archive carries its TileJSON sidecar in the
+    standard metadata table, so decoding optimized-metadata tiles needs
+    nothing outside the file."""
+    import json
+
+    from cov_tiles_spark.covt.genb import decode_tile_genb
+    from cov_tiles_spark.covt.mvt import decode_mvt
+    from cov_tiles_spark.pipeline.transcode import _features_match, mvt_to_genb
+    from cov_tiles_spark.sources.mbtiles import read_mbtiles_metadata
+
+    src = Path("/root/reference/parser/js/data/omt/4_3_9.mvt")
+    payload, tilejson, _, _ = mvt_to_genb(src.read_bytes())
+    db = str(tmp_path / "genb.mbtiles")
+    write_mbtiles(
+        [(4, 3, 9, payload)],
+        db,
+        metadata={"format": "covt-genb", "json": tilejson},
+    )
+
+    meta = read_mbtiles_metadata(db)
+    assert meta["format"] == "covt-genb"
+    import sqlite3
+
+    con = sqlite3.connect(db)
+    (blob,) = con.execute(
+        "SELECT tile_data FROM tiles WHERE zoom_level=4"
+    ).fetchone()
+    con.close()
+    decoded = decode_tile_genb(bytes(blob), json.loads(meta["json"]))
+    assert _features_match(decoded, decode_mvt(src.read_bytes()))
