@@ -228,3 +228,113 @@ def parquet_delta_decode(buf: np.ndarray, offset: int = 0) -> tuple[np.ndarray, 
     np.cumsum(deltas[: n - 1], out=out[1:]) if n > 1 else None
     out[1:] += first
     return out, offset
+
+
+class _BitWriter:
+    __slots__ = ("acc", "nbits", "out")
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def write(self, value: int, width: int) -> None:
+        self.acc = (self.acc << width) | (value & ((1 << width) - 1))
+        self.nbits += width
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.acc = self.nbits = 0
+        return bytes(self.out)
+
+
+class _BitReader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0  # bit position
+
+    def read(self, width: int) -> int:
+        v = 0
+        p = self.pos
+        for _ in range(width):
+            v = (v << 1) | ((self.buf[p >> 3] >> (7 - (p & 7))) & 1)
+            p += 1
+        self.pos = p
+        return v
+
+
+def gorilla_xor_encode(values: np.ndarray) -> bytes:
+    """Gorilla-style XOR compression for float32 streams (eval-only —
+    the reference leaves float compression as an acknowledged TODO,
+    `CovtConverter.java:1120-1132` 'XOR-based encoding', and ships
+    plain IEEE754; this measures what that TODO would buy).
+
+    Scheme (Gorilla paper §4.1.2, adapted to 32-bit words): first value
+    raw; then per value XOR with the previous —
+    - 0 bit if the XOR is zero;
+    - '10' + meaningful bits if they fit the previous leading/length
+      window;
+    - '11' + 5-bit leading-zero count + 5-bit (length-1) + the bits.
+    """
+    f = np.ascontiguousarray(np.asarray(values, dtype=np.float32))
+    u = f.view(np.uint32)
+    n = len(u)
+    w = _BitWriter()
+    w.write(n, 32)
+    if n == 0:
+        return w.finish()
+    w.write(int(u[0]), 32)
+    prev = int(u[0])
+    lead, length = 0xFF, 0  # invalid window forces '11' on first nonzero
+    for i in range(1, n):
+        cur = int(u[i])
+        x = prev ^ cur
+        prev = cur
+        if x == 0:
+            w.write(0, 1)
+            continue
+        lz = 32 - x.bit_length()
+        tz = (x & -x).bit_length() - 1
+        if lead != 0xFF and lz >= lead and tz >= 32 - lead - length:
+            w.write(0b10, 2)
+            w.write(x >> (32 - lead - length), length)
+        else:
+            lead = min(lz, 31)
+            length = 32 - lead - tz
+            w.write(0b11, 2)
+            w.write(lead, 5)
+            w.write(length - 1, 5)
+            w.write(x >> tz, length)
+    return w.finish()
+
+
+def gorilla_xor_decode(buf: bytes) -> np.ndarray:
+    r = _BitReader(bytes(buf))
+    n = r.read(32)
+    out = np.empty(n, dtype=np.uint32)
+    if n == 0:
+        return out.view(np.float32)
+    prev = r.read(32)
+    out[0] = prev
+    lead = length = 0
+    for i in range(1, n):
+        if r.read(1) == 0:
+            out[i] = prev
+            continue
+        if r.read(1) == 0:  # '10': reuse window
+            bits = r.read(length)
+            x = bits << (32 - lead - length)
+        else:  # '11': new window
+            lead = r.read(5)
+            length = r.read(5) + 1
+            bits = r.read(length)
+            x = bits << (32 - lead - length)
+        prev ^= x
+        out[i] = prev
+    return out.view(np.float32)

@@ -67,6 +67,69 @@ def sweep(name: str, vals: np.ndarray, signed: bool, sorted_hint: bool) -> dict:
     return sizes
 
 
+_HEADER = "## Integer codec sweep (real streams from omt/5_16_20, bytes)"
+
+
+def _replace_section(path: str, header: str, body: str) -> None:
+    """Replace the section starting at ``header`` (through the next
+    '## ' heading) or append it if absent."""
+    text = open(path).read()
+    i = text.find(header)
+    if i < 0:
+        open(path, "a").write("\n" + body)
+        return
+    j = text.find("\n## ", i + len(header))
+    tail = text[j:] if j >= 0 else ""
+    open(path, "w").write(text[:i] + body + tail)
+
+
+def float_sweep() -> list[str]:
+    """Float-stream sweep: plain IEEE754 (what the reference ships,
+    float compression being its acknowledged TODO at
+    CovtConverter.java:1120-1132) vs Gorilla-style XOR vs gzip —
+    real float columns from the bing golden tiles."""
+    from cov_tiles_spark.covt.eval_codecs import (
+        gorilla_xor_decode,
+        gorilla_xor_encode,
+    )
+    from cov_tiles_spark.covt.mvt import decode_mvt
+
+    streams: dict[str, np.ndarray] = {}
+    for tname, lname, key in (
+        ("9-259-176", "populated_place", "name-f"),
+        ("9-259-176", "road", "shield-scale"),
+        ("4-8-5", "populated_place", "max-text-width"),
+    ):
+        layers = decode_mvt(
+            open(f"/root/reference/parser/js/data/bing/{tname}.mvt", "rb").read()
+        )
+        vals = [
+            f.properties[key]
+            for lay in layers
+            if lay.name == lname
+            for f in lay.features
+            if isinstance(f.properties.get(key), float)
+        ]
+        streams[f"bing/{tname} {lname}.{key}"] = np.array(vals, np.float32)
+
+    lines = [
+        "\nFloat streams (plain f32 = shipped format; gorilla-xor = "
+        "covt/eval_codecs.py, round-trip bit-exact on every stream):\n",
+        "| stream | n | plain f32 | gorilla-xor | gzip(f32) |",
+        "|---|---|---|---|---|",
+    ]
+    for name, v in streams.items():
+        enc = gorilla_xor_encode(v)
+        dec = gorilla_xor_decode(enc)
+        assert np.array_equal(dec.view(np.uint32), v.view(np.uint32)), name
+        raw = v.tobytes()
+        lines.append(
+            f"| {name} | {len(v)} | {len(raw)} | {len(enc)} | "
+            f"{len(gzip.compress(raw, 6))} |"
+        )
+    return lines
+
+
 def main() -> None:
     tile = decode_covt(
         open("/root/reference/parser/js/data/omt/5_16_20.covt", "rb").read()
@@ -83,7 +146,7 @@ def main() -> None:
             transport.properties["class"].data.astype(np.int64), False, False),
     }
     lines = [
-        "\n## Integer codec sweep (real streams from omt/5_16_20, bytes)\n",
+        _HEADER + "\n",
         "Mirrors the reference's IntegerCompressionEvaluation.java:68-120 "
         "codec-for-codec (bench-only; gen-B tiles emit pfor behind the "
         "FAST_PFOR flag, the rest never ship). bitpack = FOR+128 blocks; "
@@ -103,9 +166,9 @@ def main() -> None:
             f"{s['delta_bitpack']} | {s['pfor']} | {s['pq_delta']} | "
             f"{s['gzip_varint']} |"
         )
+    lines += float_sweep()
     out = "\n".join(lines) + "\n"
-    with open("BENCH/BASELINE.md", "a") as f:
-        f.write(out)
+    _replace_section("BENCH/BASELINE.md", _HEADER, out)
     print(out)
 
 

@@ -341,3 +341,45 @@ class TestEvalCodecs:
         inter[0::2] = np.frombuffer(enc, np.uint8)
         dec2, _ = decode_int_rle(inter[0::2], len(v), signed=True)
         np.testing.assert_array_equal(dec2, v)
+
+
+class TestGorillaXor:
+    """Gorilla-style XOR float32 codec (eval-only; the reference ships
+    plain IEEE754 with XOR coding as an acknowledged TODO,
+    CovtConverter.java:1120-1132)."""
+
+    def test_roundtrip_bit_exact(self):
+        from cov_tiles_spark.covt.eval_codecs import (
+            gorilla_xor_decode,
+            gorilla_xor_encode,
+        )
+
+        rng = np.random.default_rng(3)
+        cases = {
+            "empty": np.array([], np.float32),
+            "single": np.array([1.5], np.float32),
+            "const": np.full(500, 3.25, np.float32),
+            "slow_walk": (np.cumsum(rng.normal(0, 0.01, 1000)) + 20).astype(
+                np.float32
+            ),
+            "random": (rng.random(777) * 1e6).astype(np.float32),
+            "signed": ((rng.random(333) - 0.5) * 1e3).astype(np.float32),
+            "special": np.array(
+                [0.0, -0.0, np.inf, -np.inf, 1e-38, 3.4e38], np.float32
+            ),
+            "alternating": np.tile(
+                np.array([1.0, -1.0], np.float32), 200
+            ),
+        }
+        for name, v in cases.items():
+            enc = gorilla_xor_encode(v)
+            dec = gorilla_xor_decode(enc)
+            assert np.array_equal(
+                dec.view(np.uint32), v.view(np.uint32)
+            ), name
+
+    def test_compresses_repeats_and_slow_walks(self):
+        from cov_tiles_spark.covt.eval_codecs import gorilla_xor_encode
+
+        const = np.full(1000, 7.5, np.float32)
+        assert len(gorilla_xor_encode(const)) < 1000 * 4 / 20
