@@ -19,6 +19,8 @@ reference pipeline's hash-based dedup surface.
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 import numpy as np
 
 from cov_tiles_spark.covt.rle import decode_byte_rle, encode_byte_rle
@@ -98,13 +100,22 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return float(10.0 * np.log10(255.0**2 / mse))
 
 
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
+@_lru_cache(maxsize=32)
+def _luma_sample_idx(h: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    return np.ix_(ys, xs)
+
+
 def _to_luma32(pixels: np.ndarray) -> np.ndarray:
     """Downsample to 32x32 grayscale by block-mean (no external resize)."""
     h, w, _ = pixels.shape
-    gray = pixels @ np.array([0.299, 0.587, 0.114])
-    ys = (np.arange(32) * h) // 32
-    xs = (np.arange(32) * w) // 32
-    return gray[np.ix_(ys, xs)]
+    iy, ix = _luma_sample_idx(h, w)
+    # sample first, then weight: 32x32x3 matmul instead of h*w*3
+    return pixels[iy, ix] @ _LUMA
 
 
 def phash64(pixels: np.ndarray) -> int:
@@ -113,7 +124,10 @@ def phash64(pixels: np.ndarray) -> int:
     m = _dct32()
     coef = m @ luma @ m.T
     block = coef[:8, :8].copy().ravel()
-    med = np.median(block[1:])  # exclude DC
+    # median of the 63 AC coefficients = the 31st order statistic (odd
+    # count, so np.median picks exactly this element — partition skips
+    # its dispatch overhead, ~10% of the synthesis kernel)
+    med = np.partition(block[1:], 31)[31]
     bits = block > med
     bits[0] = False
     word = np.uint64(0)
@@ -135,9 +149,11 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(bytes_view, axis=1).sum(axis=1)
 
 
-def generate_image(image_id: int, w: int, h: int) -> np.ndarray:
-    """Deterministic synthetic RGB content for a given id (seeded)."""
-    rng = np.random.default_rng(42 + image_id)
+@_lru_cache(maxsize=32)
+def _image_grid(w: int, h: int) -> tuple[np.ndarray, np.ndarray]:
+    """(xx row vector, deterministic RGB gradient base) for a (w, h) —
+    only a handful of shapes exist, and rebuilding the mgrid + gradient
+    per image was ~25% of the synthesis kernel's profile."""
     yy, xx = np.mgrid[0:h, 0:w]
     base = np.stack(
         [
@@ -147,6 +163,15 @@ def generate_image(image_id: int, w: int, h: int) -> np.ndarray:
         ],
         axis=-1,
     )
+    base.setflags(write=False)
+    xx.setflags(write=False)
+    return xx, base
+
+
+def generate_image(image_id: int, w: int, h: int) -> np.ndarray:
+    """Deterministic synthetic RGB content for a given id (seeded)."""
+    rng = np.random.default_rng(42 + image_id)
+    xx, base = _image_grid(w, h)
     noise = rng.normal(0, 12, (h, w, 3))
     phase = rng.uniform(0, 2 * np.pi)
     wave = 40 * np.sin(2 * np.pi * xx / max(w, 1) * rng.integers(1, 4) + phase)
