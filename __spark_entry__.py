@@ -1455,19 +1455,25 @@ def oracle_sql() -> dict[str, str]:
               ON l.user_id = m.user_id AND l.ts >= m.ts
             ORDER BY l.event_id
         """,
-        # identical integer hash formula as operators/sampling.py:
-        # h = ((key % 2^31) * 2654435761 + 1) % 2^31, keep iff h < t
+        # identical integer hash formula as operators/sampling.py
+        # sample_hash (seed 0): pmod into the 31-bit ring, multiply,
+        # xorshift, multiply again; keep iff h < t
         "q_stratified_sample": """
             SELECT doc_id, source FROM (
               SELECT doc_id, source,
-                ((doc_id % 2147483648) * 2654435761 + 1) % 2147483648 AS h,
+                (xor(h1, h1 >> 15) * 2246822519) % 2147483648 AS h,
                 CASE source
                   WHEN 'src0' THEN 2147483648
                   WHEN 'src1' THEN 1073741824
                   WHEN 'src2' THEN 536870912
                   WHEN 'src3' THEN 0
                   ELSE 214748364 END AS t
-              FROM documents)
+              FROM (
+                SELECT doc_id, source,
+                  (((((doc_id % 2147483648) + 2147483648) % 2147483648
+                     + 1) % 2147483648) * 2654435761 + 1)
+                    % 2147483648 AS h1
+                FROM documents))
             WHERE h < t ORDER BY doc_id
         """,
         "q_sample_per_group": """
@@ -1475,10 +1481,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, source,
                 cast(row_number() OVER (
                   PARTITION BY source
-                  ORDER BY ((doc_id % 2147483648) * 2654435761 + 1)
-                             % 2147483648, doc_id
+                  ORDER BY (xor(h1, h1 >> 15) * 2246822519) % 2147483648,
+                           doc_id
                 ) AS int) AS rank
-              FROM documents)
+              FROM (
+                SELECT doc_id, source,
+                  (((((doc_id % 2147483648) + 2147483648) % 2147483648
+                     + 1) % 2147483648) * 2654435761 + 1)
+                    % 2147483648 AS h1
+                FROM documents))
             WHERE rank <= 5 ORDER BY source, rank
         """,
     }

@@ -138,6 +138,8 @@ def _load_geometry(
             line.append(line[0])
         else:
             raise ValueError(f"unknown geometry command {cmd}")
+    if offset != seg_end:  # last param varint straddled the boundary
+        raise ValueError("malformed MVT: geometry segment overrun")
     if line is not None:
         lines.append(line)
     return lines
@@ -161,6 +163,8 @@ def _decode_feature(
             while offset < seg_end:
                 v, offset = _read_varint(buf, offset)
                 tags.append(v)
+            if offset != seg_end:  # last varint straddled the boundary
+                raise ValueError("malformed MVT: tag segment overrun")
         elif fid == 3:
             gtype, offset = _read_varint(buf, offset)
         elif fid == 4:  # packed geometry

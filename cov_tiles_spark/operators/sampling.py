@@ -31,16 +31,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# Knuth multiplicative hash over a 31-bit ring: (key % 2^31) * MIX stays
-# under 2^63, so the arithmetic is exact in int64 on every engine (no
-# overflow even under Spark's ANSI mode)
-_MIX = 2654435761
+# Multiplicative-xorshift hash over a 31-bit ring: every intermediate is
+# < 2^31 * MIX < 2^63, so the arithmetic is exact in int64 on every
+# engine (no overflow even under Spark's ANSI mode). Two multiply rounds
+# with an xorshift between them make the hash non-affine in both key and
+# seed: a plain `h = key*MIX + seed` would give every seed a rotation of
+# the same ordering (99%+ overlap between same-rate samples at different
+# seeds, measured), and the dividend-signed `%` of Spark/DuckDB would
+# leak negative hashes for negative keys (kept at EVERY rate).
+_MIX1 = 2654435761
+_MIX2 = 2246822519
 _RING = 1 << 31
 
 
 def sample_hash(key: F.Column, seed: int = 0) -> F.Column:
     """Deterministic uniform hash of a bigint key onto [0, 2^31)."""
-    return ((key % _RING) * F.lit(_MIX) + F.lit(seed * 2_654_435_769 + 1)) % _RING
+    x0 = ((key % _RING) + _RING) % _RING  # pmod: negatives map into the ring
+    x = (x0 + F.lit((seed * 2_654_435_769 + 1) % _RING)) % _RING
+    h1 = (x * _MIX1 + 1) % _RING
+    h2 = h1.bitwiseXOR(F.shiftright(h1, 15))
+    return (h2 * _MIX2) % _RING
 
 
 def threshold(rate: float) -> int:
@@ -124,7 +134,11 @@ def sample_per_group(
         )
     ).alias("_cut")
     pre = base.join(F.broadcast(counts.select(*group_cols, cut)), group_cols)
-    cand = ranked(pre.filter(F.col("_h") < F.col("_cut"))).cache()
+    # no cache: cand is consumed twice (completeness check + output) but
+    # is deterministic (pure hash ordering), so recomputation is safe and
+    # a library call never leaks cached partitions into the caller's
+    # session
+    cand = ranked(pre.filter(F.col("_h") < F.col("_cut")))
     # a group is proven complete if it yielded k rows OR the prefilter
     # kept the whole group (cut == 2^31 covers n <= 8k+64)
     complete = (

@@ -11,6 +11,9 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _sections import replace_section as _replace_section  # noqa: E402
 
 import gzip
 
@@ -69,18 +72,6 @@ def sweep(name: str, vals: np.ndarray, signed: bool, sorted_hint: bool) -> dict:
 
 _HEADER = "## Integer codec sweep (real streams from omt/5_16_20, bytes)"
 
-
-def _replace_section(path: str, header: str, body: str) -> None:
-    """Replace the section starting at ``header`` (through the next
-    '## ' heading) or append it if absent."""
-    text = open(path).read()
-    i = text.find(header)
-    if i < 0:
-        open(path, "a").write("\n" + body)
-        return
-    j = text.find("\n## ", i + len(header))
-    tail = text[j:] if j >= 0 else ""
-    open(path, "w").write(text[:i] + body + tail)
 
 
 def float_sweep() -> list[str]:

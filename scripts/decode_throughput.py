@@ -15,6 +15,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _sections import replace_section as _replace_section  # noqa: E402
 
 from cov_tiles_spark.covt.decoder import decode_covt
 from cov_tiles_spark.covt.mvt import decode_mvt
@@ -42,18 +45,6 @@ _HEADER = (
     "pinned tiles, single-threaded)"
 )
 
-
-def _replace_section(path: str, header: str, body: str) -> None:
-    """Replace the section starting at ``header`` (through the next
-    '## ' heading) or append it if absent."""
-    text = open(path).read()
-    i = text.find(header)
-    if i < 0:
-        open(path, "a").write("\n" + body)
-        return
-    j = text.find("\n## ", i + len(header))
-    tail = text[j:] if j >= 0 else ""
-    open(path, "w").write(text[:i] + body + tail)
 
 
 def main() -> None:

@@ -9,23 +9,14 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _sections import replace_section as _replace_section  # noqa: E402
 
 REF_REDUCTION = {2: 36, 3: 29, 4: 71, 5: 74, 6: 69, 7: 68, 8: 68}
 
 _HEADER = "## MVT→COVT transcode parity (reference's own OMT golden tiles)"
 
-
-def _replace_section(path: str, header: str, body: str) -> None:
-    """Replace the section starting at ``header`` (through the next
-    '## ' heading) or append it if absent."""
-    text = open(path).read()
-    i = text.find(header)
-    if i < 0:
-        open(path, "a").write("\n" + body)
-        return
-    j = text.find("\n## ", i + len(header))
-    tail = text[j:] if j >= 0 else ""
-    open(path, "w").write(text[:i] + body + tail)
 
 
 def main() -> None:
@@ -70,9 +61,10 @@ def main() -> None:
         red_b = (1 - r.genb_bytes / r.mvt_bytes) * 100
         actual = ref_actual.get(r.z)
         beat = " **(beats)**" if actual is not None and red_b > actual else ""
+        actual_s = f"{actual:.1f}%" if actual is not None else "—"
         lines.append(
             f"| z{r.z} | {red_a:.1f}% | {red_b:.1f}%{beat} | "
-            f"{actual:.1f}% | {REF_REDUCTION.get(r.z, '—')}% | "
+            f"{actual_s} | {REF_REDUCTION.get(r.z, '—')}% | "
             f"{r.verified} | {r.genb_verified} |"
         )
     lines.append(

@@ -385,3 +385,26 @@ class TestSampling:
         for r in out:
             per.setdefault(r.source, []).append(r.rank)
         assert all(sorted(v) == [1, 2, 3] for v in per.values()) and len(per) == 4
+
+    def test_negative_keys_and_seed_independence(self, spark):
+        """Regression: dividend-signed %% must not leak negative hashes
+        (negative keys were kept at EVERY rate), and different seeds must
+        draw near-independent samples (the old post-multiply additive
+        seed made every seed a rotation of one ordering: 99%+ overlap)."""
+        from cov_tiles_spark.operators.sampling import hash_sample
+
+        neg = spark.range(-2000, 2000).select(F.col("id").alias("doc_id"))
+        kept = hash_sample(neg, 0.25, "doc_id").collect()
+        neg_kept = sum(1 for r in kept if r.doc_id < 0)
+        assert 0 < neg_kept < 2000  # sampled, not all-kept / all-dropped
+        assert abs(len(kept) / 4000 - 0.25) < 0.05
+        zero_rate = hash_sample(neg, 0.0, "doc_id").count()
+        assert zero_rate == 0
+
+        df = spark.range(4000).select(F.col("id").alias("doc_id"))
+        a = {r.doc_id for r in hash_sample(df, 0.4, "doc_id", seed=0).collect()}
+        b = {r.doc_id for r in hash_sample(df, 0.4, "doc_id", seed=1).collect()}
+        # independent draws overlap ~rate^2 * n / |a| = rate;
+        # allow wide tolerance but rule out rotation (overlap ~= 1)
+        overlap = len(a & b) / max(len(a), 1)
+        assert overlap < 0.6, overlap
