@@ -93,7 +93,8 @@ def main() -> int:
             continue
         print(f"ok   {name}: {len(a)} rows match ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} pass")
+    n_checked = len([q for q in queries if not only or q in only])
+    print(f"\n{n_checked - len(failures)}/{n_checked} pass")
     return 1 if failures else 0
 
 
