@@ -114,8 +114,11 @@ def test_covt_to_mvt_roundtrip_both_formats():
         mvt_to_genb,
     )
 
-    paths = sorted(glob.glob("/root/reference/parser/js/data/*/*.mvt"))
-    assert len(paths) == 14
+    paths = sorted(
+        glob.glob("/root/reference/parser/js/data/*/*.mvt")
+        + glob.glob("/root/reference/parser/js/data/*/*.pbf")
+    )
+    assert len(paths) == 15  # 7 omt + 7 bing + 1 amazon
     for p in paths:
         mvt = open(p, "rb").read()
         orig = {l.name: l for l in decode_mvt(mvt) if l.features}
