@@ -192,14 +192,8 @@ def mvt_to_covt(mvt_bytes: bytes, allow_ice: bool = True) -> tuple[bytes, int, i
     return encode_tile(inputs, allow_ice=allow_ice), len(inputs), n_features
 
 
-def mvt_to_genb(mvt_bytes: bytes) -> tuple[bytes, dict, int, int]:
-    """One tile: MVT bytes -> (gen-B COVT bytes, TileJSON dict, n_layers,
-    n_features). ``name:*`` groups use the format-reserved
-    LOCALIZED_DICTIONARY column type (shared dictionary across locales —
-    our documented extension; the reference converter throws on it,
-    CovtConverter.java:358-360)."""
-    from cov_tiles_spark.covt.genb import encode_tile_genb
-
+def _genb_inputs(mvt_bytes: bytes) -> tuple[list[LayerInput], int]:
+    """MVT bytes -> (LayerInput list, n_features) for gen-B encoding."""
     layers = decode_mvt(mvt_bytes)
     inputs = []
     n_features = 0
@@ -223,10 +217,48 @@ def mvt_to_genb(mvt_bytes: bytes) -> tuple[bytes, dict, int, int]:
             )
         )
         n_features += len(lay.features)
+    return inputs, n_features
+
+
+def mvt_to_genb(mvt_bytes: bytes) -> tuple[bytes, dict, int, int]:
+    """One tile: MVT bytes -> (gen-B COVT bytes, TileJSON dict, n_layers,
+    n_features). ``name:*`` groups use the format-reserved
+    LOCALIZED_DICTIONARY column type (shared dictionary across locales —
+    our documented extension; the reference converter throws on it,
+    CovtConverter.java:358-360)."""
+    from cov_tiles_spark.covt.genb import encode_tile_genb
+
+    inputs, n_features = _genb_inputs(mvt_bytes)
     payload, tilejson = encode_tile_genb(
         inputs, optimize_metadata=True, geometry_encoding="best"
     )
     return payload, tilejson, len(inputs), n_features
+
+
+def mvts_to_genb_tileset(
+    mvt_tiles: list[bytes],
+) -> tuple[list[bytes], dict]:
+    """Tileset conversion: MVT tiles -> gen-B payloads sharing ONE
+    central TileJSON (global layer/column ids via
+    `covt/genb.build_layer_table` — the reference's deployment shape:
+    `CovtConverter.java:183-188` writes one metadata file per tileset,
+    not per tile). The returned sidecar decodes every payload, so a
+    single .mbtiles archive (metadata key ``json``) is self-sufficient.
+    """
+    from cov_tiles_spark.covt.genb import build_layer_table, encode_tile_genb
+
+    per_tile = [_genb_inputs(t)[0] for t in mvt_tiles]
+    table, tilejson = build_layer_table(per_tile)
+    payloads = [
+        encode_tile_genb(
+            inputs,
+            optimize_metadata=True,
+            geometry_encoding="best",
+            layer_table=table,
+        )[0]
+        for inputs in per_tile
+    ]
+    return payloads, tilejson
 
 
 def verify_genb_roundtrip(
@@ -416,6 +448,65 @@ def _export_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows) if rows else pd.DataFrame(
             columns=[c.split()[0] for c in EXPORT_SCHEMA.split(", ")]
         )
+
+
+def export_mbtiles_to_mvt(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed reverse transcode of a COVT .mbtiles archive -> MVT
+    payload rows. Gen-B archives are decoded with the TileJSON sidecar
+    the archive itself carries (metadata key ``json``, written by
+    ``sources/mbtiles.write_mbtiles``); gen-A archives need no sidecar.
+    The format is sniffed per tile (gen-B leads with the version
+    nibble-header byte; decode falls back to gen-A on parse failure), so
+    mixed archives also work. Same verified output schema as
+    :func:`export_covt_directory`."""
+    import json as _json
+
+    from cov_tiles_spark.sources.mbtiles import (
+        read_mbtiles,
+        read_mbtiles_metadata,
+    )
+
+    meta = read_mbtiles_metadata(path)
+    tilejson = _json.loads(meta["json"]) if "json" in meta else None
+    tiles = read_mbtiles(spark, path)
+
+    def _export(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cov_tiles_spark.covt.genb import decode_tile_genb
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                raw = bytes(row["tile_data"])
+                try:
+                    decoded = decode_tile_genb(raw, tilejson)
+                    mvt = covt_to_mvt(genb=raw, tilejson=tilejson)
+                except Exception:
+                    decoded = decode_covt(raw)
+                    mvt = covt_to_mvt(raw)
+                back = {l.name: l for l in decode_mvt(mvt) if l.features}
+                ok = set(decoded) == set(back) and all(
+                    [f["geometry"] for f in decoded[n].features()]
+                    == [f.geometry for f in back[n].features]
+                    for n in decoded
+                )
+                rows.append(
+                    {
+                        "path": f"{row['z']}/{row['x']}/{row['y']}",
+                        "z": int(row["z"]), "x": int(row["x"]),
+                        "y": int(row["y"]),
+                        "covt_bytes": len(raw),
+                        "mvt_bytes": len(mvt),
+                        "n_layers": len(back),
+                        "n_features": sum(len(l.features) for l in back.values()),
+                        "verified": ok,
+                        "payload": mvt,
+                    }
+                )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                columns=[c.split()[0] for c in EXPORT_SCHEMA.split(", ")]
+            )
+
+    return tiles.mapInPandas(_export, schema=EXPORT_SCHEMA)
 
 
 def export_covt_directory(spark: SparkSession, glob_path: str) -> DataFrame:

@@ -61,3 +61,35 @@ def test_mbtiles_genb_archive_self_sufficient(tmp_path):
     con.close()
     decoded = decode_tile_genb(bytes(blob), json.loads(meta["json"]))
     assert _features_match(decoded, decode_mvt(src.read_bytes()))
+
+
+def test_export_mbtiles_to_mvt_both_formats(spark, tmp_path):
+    """A mixed .mbtiles archive (gen-B tiles + sidecar, plus a gen-A
+    tile) exports back to MVT as a Spark job, every tile verified."""
+    from cov_tiles_spark.pipeline.transcode import (
+        export_mbtiles_to_mvt,
+        mvt_to_covt,
+        mvts_to_genb_tileset,
+    )
+
+    ref = Path("/root/reference/parser/js/data/omt")
+    genb_paths = sorted(ref.glob("*.mvt"))[:3]
+    payloads, tilejson = mvts_to_genb_tileset(
+        [p.read_bytes() for p in genb_paths]
+    )
+    rows = []
+    for p, payload in zip(genb_paths, payloads):
+        z, x, y = (int(v) for v in p.stem.split("_"))
+        rows.append((z, x, y, payload))
+    # one gen-A tile in the same archive (format sniffed per tile)
+    p = sorted(ref.glob("*.mvt"))[3]
+    z, x, y = (int(v) for v in p.stem.split("_"))
+    covt, _, _ = mvt_to_covt(p.read_bytes())
+    rows.append((z, x, y, covt))
+
+    db = str(tmp_path / "mixed.mbtiles")
+    write_mbtiles(rows, db, metadata={"format": "covt", "json": tilejson})
+    out = export_mbtiles_to_mvt(spark, db).collect()
+    assert len(out) == 4
+    assert all(r.verified for r in out), [r.path for r in out if not r.verified]
+    assert all(r.mvt_bytes > 0 and r.n_features > 0 for r in out)
