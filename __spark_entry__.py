@@ -483,6 +483,22 @@ def q_tile_encode(spark, sf_dir):
     return decode_tiles(tiles).orderBy("z", "x", "y", "feature_id")
 
 
+def q_tile_export_mvt(spark, sf_dir):
+    """The REVERSE transcode direction under the driver gate: the same
+    encode pipeline, but every COVT payload is exported back to MVT
+    (transcode.covt_to_mvt, the direction the reference lacks) and the
+    MVT decoded to the feature table. Shares q_tile_encode's SQL twin —
+    a hash match proves encode -> export -> MVT-decode is lossless."""
+    from cov_tiles_spark.pipeline.materialize import (
+        decode_tiles_via_mvt,
+        materialize_tiles,
+    )
+
+    imgs = _events_images(spark, sf_dir)
+    tiles = materialize_tiles(imgs, [2, 4, 6], with_mvt_baseline=False)
+    return decode_tiles_via_mvt(tiles).orderBy("z", "x", "y", "feature_id")
+
+
 def q_tile_encode_genb(spark, sf_dir):
     """Same encode->decode roundtrip through the gen-B wire format
     (covt/genb.py — the reference's current CovtParser/CovtConverter
@@ -999,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_feature_counts": q_tile_feature_counts,
         "q_tile_encode": q_tile_encode,
         "q_tile_encode_genb": q_tile_encode_genb,
+        "q_tile_export_mvt": q_tile_export_mvt,
         "q_raster_cells": q_raster_cells,
         "q_sessionize": q_sessionize,
         "q_dedup_exact": q_dedup_exact,
@@ -1495,6 +1512,8 @@ def oracle_sql() -> dict[str, str]:
     }
     # gen-B roundtrip must reproduce the identical feature table
     oracles["q_tile_encode_genb"] = oracles["q_tile_encode"]
+    # export path must reproduce the identical feature table
+    oracles["q_tile_export_mvt"] = oracles["q_tile_encode"]
     return oracles
 
 

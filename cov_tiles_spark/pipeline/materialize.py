@@ -422,3 +422,50 @@ def decode_tiles(payloads: DataFrame, wire_format: str = "gena") -> DataFrame:
             )
 
     return payloads.mapInPandas(_decode, schema=DECODE_SCHEMA)
+
+
+def decode_tiles_via_mvt(payloads: DataFrame) -> DataFrame:
+    """Payload rows → exploded feature rows THROUGH the MVT export path:
+    each COVT payload is reverse-transcoded (`transcode.covt_to_mvt`)
+    and the resulting MVT decoded — a full-pipeline drive of the export
+    direction whose output must equal :func:`decode_tiles` row-for-row
+    (the driver gate checks it against the same oracle)."""
+
+    def _decode(batches):
+        from cov_tiles_spark.covt.mvt import decode_mvt
+        from cov_tiles_spark.pipeline.transcode import covt_to_mvt
+
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                mvt = covt_to_mvt(bytes(row["payload"]))
+                (lay,) = decode_mvt(mvt)
+                n = len(lay.features)
+                rec = {
+                    "z": np.full(n, row["z"], np.int32),
+                    "x": np.full(n, row["x"], np.int32),
+                    "y": np.full(n, row["y"], np.int32),
+                    "feature_id": np.array(
+                        [f.id for f in lay.features], np.int64
+                    ),
+                    "local_x": np.array(
+                        [f.geometry[0][0][0] for f in lay.features], np.int32
+                    ),
+                    "local_y": np.array(
+                        [f.geometry[0][0][1] for f in lay.features], np.int32
+                    ),
+                }
+                for name in ("caption", "fmt"):
+                    rec[name] = np.array(
+                        [f.properties[name] for f in lay.features], dtype=object
+                    )
+                for name in ("w", "h", "phash"):
+                    rec[name] = np.array(
+                        [f.properties[name] for f in lay.features], np.int64
+                    )
+                outs.append(pd.DataFrame(rec))
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                columns=[f.split()[0] for f in DECODE_SCHEMA.split(", ")]
+            )
+
+    return payloads.mapInPandas(_decode, schema=DECODE_SCHEMA)
