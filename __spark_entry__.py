@@ -51,6 +51,23 @@ def _merc_y(lat):
     )
 
 
+# constant-folded HLL alpha_m * m^2 * 2^32 (operators/sketch.py) — repr()
+# round-trips the exact double, so both engines divide by the same value
+from cov_tiles_spark.operators.sketch import ALPHA_NUM as _HLL_ALPHA  # noqa: E402
+
+
+def _hash_sql(key: str, seed: int) -> str:
+    """SQL twin of operators/sampling.sample_hash — exact int64
+    arithmetic on the 2^31 ring, engine-portable (see the module
+    docstring for why two multiply rounds + xorshift)."""
+    off = (seed * 2_654_435_769 + 1) % (1 << 31)
+    h1 = (
+        f"(((((({key}) % 2147483648) + 2147483648) % 2147483648"
+        f" + {off}) % 2147483648) * 2654435761 + 1) % 2147483648"
+    )
+    return f"((xor(({h1}), ({h1}) >> 15) * 2246822519) % 2147483648)"
+
+
 _MX_SQL = "(({lon} + 180.0) / 360.0)"
 _MY_SQL = "(0.5 - ln(tan(pi() / 4.0 + radians({lat}) / 2.0)) / (2.0 * pi()))"
 
@@ -144,6 +161,44 @@ def q_events_window(spark, sf_dir):
     )
 
 
+def q_percentiles(spark, sf_dir):
+    """Exact ordered-aggregation percentiles (SURVEY §2.4/§2.6: ordered
+    reduce): per-type p50/p90/p99 of event value with linear
+    interpolation — Spark `percentile` == DuckDB `quantile_cont`."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+            F.round(F.min("value"), 4).alias("vmin"),
+            F.round(F.max("value"), 4).alias("vmax"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_window_suite(spark, sf_dir):
+    """Full ranking-window surface (§2.5): row_number / lag / lead /
+    ntile / percent_rank / cume_dist over a deterministic total order."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+            F.round(F.lag("value", 1).over(w), 4).alias("prev_value"),
+            F.round(F.lead("value", 1).over(w), 4).alias("next_value"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_set_ops(spark, sf_dir):
     """Set operations: customers with F-status orders minus O-status (§2.7)."""
     o = _t(spark, sf_dir, "orders")
@@ -165,6 +220,32 @@ def q_semi_anti_join(spark, sf_dir):
     )
 
 
+def q_bloom_semi_join(spark, sf_dir):
+    """Bloom-pruned semi join (operators/bloomjoin.py): urgent high-value
+    orders' keys -> broadcast bitmap -> map-side prune of lineitem before
+    the exchange -> exact semi join. Result is unconditionally equal to
+    the plain semi join (no false negatives; survivors re-verified), so
+    the DuckDB twin is a plain IN-subquery."""
+    from cov_tiles_spark.operators.bloomjoin import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000)
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    out = bloom_semi_join(
+        li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        urgent,
+        "l_orderkey",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity").cast("double"), 4).alias("quantity"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
 def q_distinct_agg(spark, sf_dir):
     """Distinct aggregation (vertex/string dictionary analogue, §2.4 A1/A2)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -174,6 +255,26 @@ def q_distinct_agg(spark, sf_dir):
             F.countDistinct("l_suppkey").alias("n_suppliers"),
             F.countDistinct("l_partkey").alias("n_parts"),
         )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Mergeable HyperLogLog distinct sketch (operators/sketch.py) per
+    l_returnflag over l_partkey, next to the exact count. The DuckDB twin
+    recomputes the estimator end-to-end in SQL from the raw table (same
+    portable hash, exact bin-length rho, integer harmonic sum) — a live
+    cross-engine second implementation, not a fixture."""
+    from cov_tiles_spark.operators.sketch import hll_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    sketch = hll_distinct(li, "l_partkey", ["l_returnflag"])
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    return (
+        sketch.join(exact, "l_returnflag")
+        .select("l_returnflag", "hll_s", "n_zero", "hll_est", "exact_distinct")
         .orderBy("l_returnflag")
     )
 
@@ -635,6 +736,27 @@ def q_minhash_dedup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Transitive closure of the minhash near-dup pairs -> one canonical
+    doc per duplicate cluster (dedup #2b: pairs alone don't dedup a
+    corpus — a~b, b~c must keep exactly one of three). Alternating
+    large/small-star connected components (operators/cluster.py), checked
+    against an independent path-compressed union-find closure of the
+    independently-recomputed pair set (scripts/build_oracles.py)."""
+    from cov_tiles_spark.operators.cluster import dedup_clusters
+    from cov_tiles_spark.operators.dedup import minhash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    corpus = d.select("doc_id", "text").unionAll(planted)
+    pairs = minhash_near_dups(corpus, "text", "doc_id", threshold=0.9)
+    return (
+        dedup_clusters(corpus, pairs)
+        .select("doc_id", "cluster", "is_canonical")
+        .orderBy("doc_id")
+    )
+
+
 def q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup pairs (dedup #3; rows-only)."""
     from cov_tiles_spark.operators.dedup import simhash_near_dups
@@ -999,9 +1121,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_local_supplier_volume": q_local_supplier_volume,
         "q_rollup_returns": q_rollup_returns,
         "q_events_window": q_events_window,
+        "q_percentiles": q_percentiles,
+        "q_window_suite": q_window_suite,
         "q_set_ops": q_set_ops,
         "q_semi_anti_join": q_semi_anti_join,
+        "q_bloom_semi_join": q_bloom_semi_join,
         "q_distinct_agg": q_distinct_agg,
+        "q_hll_distinct": q_hll_distinct,
         "q_broadcast_join_parts": q_broadcast_join_parts,
         "q_tile_assignment": q_tile_assignment,
         "q_tile_local_coords": q_tile_local_coords,
@@ -1024,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_quality": q_quality,
         "q_minhash_dedup": q_minhash_dedup,
+        "q_dup_clusters": q_dup_clusters,
         "q_simhash_dedup": q_simhash_dedup,
         "q_cosine_topk": q_cosine_topk,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -1104,6 +1231,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
+        "q_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(quantile_cont(value, 0.99), 4) AS p99,
+                   round(min(value), 4) AS vmin,
+                   round(max(value), 4) AS vmax
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_window_suite": """
+            SELECT event_id, event_type,
+                   cast(row_number() OVER w AS int) AS rn,
+                   round(lag(value, 1) OVER w, 4) AS prev_value,
+                   round(lead(value, 1) OVER w, 4) AS next_value,
+                   cast(ntile(4) OVER w AS int) AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+            ORDER BY event_id
+        """,
         "q_set_ops": """
             SELECT o_custkey FROM
               (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
@@ -1120,11 +1268,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
             ORDER BY c_custkey
         """,
+        "q_bloom_semi_join": """
+            SELECT l_orderkey, l_linenumber,
+                   round(cast(l_quantity AS double), 4) AS quantity
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders
+                WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+            )
+            ORDER BY l_orderkey, l_linenumber
+        """,
         "q_distinct_agg": """
             SELECT l_returnflag,
                    cast(count(DISTINCT l_suppkey) as bigint) AS n_suppliers,
                    cast(count(DISTINCT l_partkey) as bigint) AS n_parts
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q_hll_distinct": f"""
+            WITH regs AS (
+              SELECT l_returnflag,
+                     ({_hash_sql("l_partkey", 101)}) >> 19 AS idx,
+                     max(CASE WHEN ({_hash_sql("l_partkey", 202)}) = 0 THEN 32
+                              ELSE 32 - length(bin({_hash_sql("l_partkey", 202)}))
+                         END) AS mrho
+              FROM lineitem GROUP BY 1, 2
+            ), agg AS (
+              SELECT l_returnflag,
+                     cast(sum(1::BIGINT << (32 - mrho)) AS BIGINT) AS s_hit,
+                     count(*) AS n_hit
+              FROM regs GROUP BY 1
+            ), st AS (
+              SELECT l_returnflag,
+                     cast(s_hit + (4096 - n_hit) * 4294967296 AS BIGINT) AS hll_s,
+                     cast(4096 - n_hit AS BIGINT) AS n_zero
+              FROM agg
+            )
+            SELECT st.l_returnflag, hll_s, n_zero,
+                   round(CASE WHEN ({_HLL_ALPHA!r} / hll_s) <= 10240.0
+                                   AND n_zero > 0
+                              THEN 4096.0 * ln(4096.0 / n_zero)
+                              ELSE {_HLL_ALPHA!r} / hll_s END, 4) AS hll_est,
+                   ex.exact_distinct
+            FROM st JOIN (
+              SELECT l_returnflag,
+                     cast(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+              FROM lineitem GROUP BY 1
+            ) ex USING (l_returnflag)
+            ORDER BY l_returnflag
         """,
         "q_broadcast_join_parts": """
             SELECT p_brand, count(*) AS n_items,
@@ -1389,6 +1579,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, hamming
             FROM read_parquet('{_ORACLE_DIR}/q_simhash_dedup.parquet')
             ORDER BY id_a, id_b
+        """,
+        "q_dup_clusters": f"""
+            SELECT doc_id, cluster, is_canonical
+            FROM read_parquet('{_ORACLE_DIR}/q_dup_clusters.parquet')
+            ORDER BY doc_id
         """,
         "q_embedding_near_dups": f"""
             SELECT id_a, id_b

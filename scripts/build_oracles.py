@@ -734,6 +734,34 @@ def q_frame_sample(sf_dir: str, k: int = 4) -> pd.DataFrame:
               "frames_sampled": "int32", "frame_phash_xor": "int64"})
 
 
+def q_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Union-find closure of the independently-computed minhash pair set
+    over the planted corpus (operators/cluster.py twin: large/small-star
+    connected components must equal path-compressed union-find)."""
+    pairs = q_minhash_dedup(sf_dir)[["id_a", "id_b"]]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    corpus = planted_docs(sf_dir)
+    ids = corpus["doc_id"].astype("int64")
+    cluster = [find(int(i)) if int(i) in parent else int(i) for i in ids]
+    out = pd.DataFrame({"doc_id": ids, "cluster": cluster})
+    out["is_canonical"] = out["doc_id"] == out["cluster"]
+    return out.sort_values("doc_id", ignore_index=True).astype(
+        {"doc_id": "int64", "cluster": "int64"}
+    )
+
+
 ORACLES = {
     "q_hilbert_cells": q_hilbert_cells,
     "q_h3_cells": q_h3_cells,
@@ -747,6 +775,7 @@ ORACLES = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_resize": q_resize,
     "q_token_counts_bpe": q_token_counts_bpe,
+    "q_dup_clusters": q_dup_clusters,
 }
 
 

@@ -1,0 +1,58 @@
+"""Bloom-pruned semi join == plain semi join, with real pruning."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cov_tiles_spark.operators.bloomjoin import (
+    bloom_filter_rows,
+    bloom_semi_join,
+    build_bloom,
+)
+
+
+def test_bloom_no_false_negatives(spark):
+    small = spark.createDataFrame(
+        [(int(k),) for k in range(0, 1000, 7)], "k long"
+    )
+    bloom = build_bloom(small, "k", num_bits=1 << 14, num_hashes=5)
+    big = spark.createDataFrame([(int(k),) for k in range(1000)], "k long")
+    kept = {
+        r["k"]
+        for r in bloom_filter_rows(
+            big, "k", bloom, num_bits=1 << 14, num_hashes=5
+        ).collect()
+    }
+    members = set(range(0, 1000, 7))
+    assert members <= kept  # zero false negatives, ever
+    # filter is sized ~11 bits/key here: false positives must be rare
+    assert len(kept - members) < 100
+
+
+def test_bloom_semi_join_exact(spark):
+    rng = np.random.default_rng(3)
+    big = spark.createDataFrame(
+        [(int(k), i) for i, k in enumerate(rng.integers(0, 5000, 20000))],
+        "k long, payload long",
+    )
+    small = spark.createDataFrame(
+        [(int(k),) for k in rng.choice(5000, 150, replace=False)], "k long"
+    )
+    got = sorted(
+        (r["k"], r["payload"]) for r in bloom_semi_join(big, small, "k").collect()
+    )
+    want = sorted(
+        (r["k"], r["payload"])
+        for r in big.join(small, "k", "left_semi").collect()
+    )
+    assert got == want
+
+
+def test_bloom_negative_keys(spark):
+    small = spark.createDataFrame([(-5,), (-1_000_000,), (3,)], "k long")
+    big = spark.createDataFrame(
+        [(int(k),) for k in range(-1_000_001, -999_990)] + [(-5,), (3,), (4,)],
+        "k long",
+    )
+    got = sorted(r["k"] for r in bloom_semi_join(big, small, "k").collect())
+    assert got == [-1_000_000, -5, 3]
