@@ -584,6 +584,21 @@ def q_tile_encode(spark, sf_dir):
     return decode_tiles(tiles).orderBy("z", "x", "y", "feature_id")
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """Pyramid ROLLUP materialization (pipeline/pyramid.py): one
+    full-corpus exchange at z6, parents derived from capped children by
+    exact grid halving — ~1/|zooms| the shuffle volume of the direct
+    path, provably byte-identical output. The twin computes every level
+    directly from events, so a hash match proves the halving chain and
+    the encode->decode roundtrip at all five levels."""
+    from cov_tiles_spark.pipeline.materialize import decode_tiles
+    from cov_tiles_spark.pipeline.pyramid import materialize_pyramid
+
+    imgs = _events_images(spark, sf_dir)
+    tiles = materialize_pyramid(imgs, 2, 6, with_mvt_baseline=False)
+    return decode_tiles(tiles).orderBy("z", "x", "y", "feature_id")
+
+
 def q_tile_export_mvt(spark, sf_dir):
     """The REVERSE transcode direction under the driver gate: the same
     encode pipeline, but every COVT payload is exported back to MVT
@@ -1140,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_cell": q_knn_cell,
         "q_tile_feature_counts": q_tile_feature_counts,
         "q_tile_encode": q_tile_encode,
+        "q_tile_pyramid": q_tile_pyramid,
         "q_tile_encode_genb": q_tile_encode_genb,
         "q_tile_export_mvt": q_tile_export_mvt,
         "q_raster_cells": q_raster_cells,
@@ -1709,6 +1725,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["q_tile_encode_genb"] = oracles["q_tile_encode"]
     # export path must reproduce the identical feature table
     oracles["q_tile_export_mvt"] = oracles["q_tile_encode"]
+    # rollup covers z2-z6 contiguously; same per-level feature table
+    oracles["q_tile_pyramid"] = oracles["q_tile_encode"].replace(
+        "unnest([2, 4, 6])", "unnest([2, 3, 4, 5, 6])"
+    )
     return oracles
 
 

@@ -366,10 +366,36 @@ def materialize_tiles(
     #   encoder apply the per-tile cap inline ("first K rows in sample
     #   order"), replacing the former row_number window — one exchange
     #   total, same selected subset.
-    sc = images.sparkSession.sparkContext
-    num_parts = max(sc.defaultParallelism * 8, 16)
-    assigned = assigned.withColumn("_sk", F.xxhash64("image_id", F.col("z")))
-    part = assigned.repartition(num_parts, "z", "x", "y").sortWithinPartitions(
+    return encode_assigned(
+        assigned,
+        max_features_per_tile=max_features_per_tile,
+        with_mvt_baseline=with_mvt_baseline,
+        wire_format=wire_format,
+    )
+
+
+def encode_assigned(
+    assigned: DataFrame,
+    max_features_per_tile: int = 20_000,
+    with_mvt_baseline: bool = True,
+    wire_format: str = "gena",
+    sample_key: F.Column | None = None,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Exchange + sorted-stream encode of already-assigned tile rows.
+
+    ``sample_key`` is the deterministic per-row cap-selection key; the
+    default salts it with the zoom so each level caps an independent
+    sample. ``pipeline/pyramid.py`` passes a zoom-INDEPENDENT key, the
+    property that makes parent tiles exactly derivable from capped child
+    tiles (see its module docstring)."""
+    if sample_key is None:
+        sample_key = F.xxhash64("image_id", F.col("z"))
+    sc = assigned.sparkSession.sparkContext
+    if num_parts is None:
+        num_parts = max(sc.defaultParallelism * 8, 16)
+    staged = assigned.withColumn("_sk", sample_key)
+    part = staged.repartition(num_parts, "z", "x", "y").sortWithinPartitions(
         "z", "x", "y", "_sk", "image_id"
     )
     return part.select(*_STREAM_COLS).mapInPandas(
