@@ -121,29 +121,93 @@ class IcebergLite:
         )
         manifest.write.mode("append").parquet(self._manifest_dir)
         pending.unpersist()
-        return manifest
+        # return the COMMITTED rows read back by snapshot id: the lazy
+        # `manifest` plan re-runs the resume anti-join on evaluation, and
+        # post-commit that join sees this very snapshot as done -> empty
+        return self.manifests().filter(F.col("snapshot_id") == snapshot_id)
 
     # ---------------- read path ----------------
 
-    def read_table(self, table: str) -> DataFrame:
-        """Read every committed snapshot of a table (manifest-gated)."""
+    def read_table(self, table: str, as_of_ns: int | None = None) -> DataFrame:
+        """Read the committed snapshots of a table (manifest-gated).
+
+        ``as_of_ns`` is Iceberg-style time travel: only snapshots whose
+        manifest commit timestamp is <= the bound are visible — the view
+        any reader saw at that instant, reconstructible forever because
+        commits are append-only."""
         base = f"{self.root}/{table}"
         snaps = [
             d for d in os.listdir(base) if d.startswith("snapshot_id=")
         ] if os.path.isdir(base) else []
         if not snaps:
             raise FileNotFoundError(f"no snapshots for table {table}")
+        vis = self.manifests().select("snapshot_id", "committed_at_ns")
+        if as_of_ns is not None:
+            vis = vis.filter(F.col("committed_at_ns") <= as_of_ns)
         committed = {
-            r.snapshot_id
-            for r in self.manifests().select("snapshot_id").distinct().collect()
+            r.snapshot_id for r in vis.select("snapshot_id").distinct().collect()
         }
         paths = [
             f"{base}/{d}" for d in snaps if d.split("=", 1)[1] in committed
         ]
+        if not paths:
+            raise FileNotFoundError(
+                f"no snapshots for table {table} at as_of_ns={as_of_ns}"
+            )
         return (
             self.spark.read.option("basePath", base).parquet(*paths)
             .drop("snapshot_id")
         )
+
+    def snapshots(self, table: str) -> DataFrame:
+        """Snapshot log: (snapshot_id, stage, committed_at_ns,
+        n_partitions, n_rows, n_bytes), oldest first — the audit surface
+        Iceberg exposes as the snapshots metadata table."""
+        return (
+            self.manifests()
+            .filter(F.col("table") == table)
+            .groupBy("snapshot_id", "stage", "committed_at_ns")
+            .agg(
+                F.count("*").alias("n_partitions"),
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("n_bytes").alias("n_bytes"),
+            )
+            .orderBy("committed_at_ns")
+        )
+
+    def rollback(self, table: str, as_of_ns: int) -> int:
+        """Drop every snapshot of ``table`` committed after ``as_of_ns``
+        from the manifest (data files stay; invisible without manifest
+        rows — Iceberg's rollback model). Returns snapshots dropped.
+
+        The manifest rewrite is copy-then-swap on a local/posix lake;
+        a real Iceberg catalog does this as an atomic metadata pointer
+        flip — swap-in path unchanged."""
+        m = self.manifests().cache()
+        doomed = (
+            m.filter((F.col("table") == table)
+                     & (F.col("committed_at_ns") > as_of_ns))
+            .select("snapshot_id").distinct().count()
+        )
+        if doomed == 0:
+            m.unpersist()
+            return 0
+        keep = m.filter(
+            (F.col("table") != table) | (F.col("committed_at_ns") <= as_of_ns)
+        )
+        tmp = f"{self._manifest_dir}.tmp-{uuid.uuid4().hex[:8]}"
+        keep.write.mode("overwrite").parquet(tmp)
+        m.unpersist()
+        old = f"{self._manifest_dir}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(self._manifest_dir, old)
+        os.rename(tmp, self._manifest_dir)
+        import shutil
+
+        shutil.rmtree(old)
+        # drop Spark's cached file listing for the swapped path, or the
+        # next manifests() read resolves the pre-rollback file set
+        self.spark.catalog.refreshByPath(self._manifest_dir)
+        return doomed
 
 
 def run_stage(

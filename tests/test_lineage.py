@@ -96,3 +96,40 @@ def test_metrics_and_lineage_fields(spark, lake):
     assert m.n_rows == 10
     assert m.n_bytes > 0
     assert m.committed_at_ns > 0
+
+
+def test_time_travel_and_snapshot_log(spark, lake):
+    a = spark.range(5).select(F.col("id"), F.lit("p1").alias("bucket"))
+    lake.commit_partitions("tt", "s1", a, "bucket")
+    t_between = lake.manifests().agg(F.max("committed_at_ns")).collect()[0][0]
+    b = spark.range(5, 12).select(F.col("id"), F.lit("p2").alias("bucket"))
+    lake.commit_partitions("tt", "s2", b, "bucket")
+
+    assert lake.read_table("tt").count() == 12
+    # as-of between the two commits: only the first snapshot is visible
+    past = lake.read_table("tt", as_of_ns=t_between)
+    assert sorted(r.id for r in past.collect()) == [0, 1, 2, 3, 4]
+
+    log = lake.snapshots("tt").collect()
+    assert len(log) == 2
+    assert [r.stage for r in log] == ["s1", "s2"]
+    assert [r.n_rows for r in log] == [5, 7]
+    assert log[0].committed_at_ns <= t_between < log[1].committed_at_ns
+
+
+def test_rollback_drops_later_snapshots(spark, lake):
+    a = spark.range(3).select(F.col("id"), F.lit("p1").alias("bucket"))
+    lake.commit_partitions("rb", "s1", a, "bucket")
+    t1 = lake.manifests().agg(F.max("committed_at_ns")).collect()[0][0]
+    b = spark.range(3, 9).select(F.col("id"), F.lit("p2").alias("bucket"))
+    lake.commit_partitions("rb", "s2", b, "bucket")
+
+    assert lake.rollback("rb", t1) == 1
+    assert lake.read_table("rb").count() == 3          # later snapshot gone
+    assert lake.snapshots("rb").count() == 1
+    assert lake.rollback("rb", t1) == 0                # idempotent
+    # a partition made invisible by rollback is re-committable (resume
+    # consults the manifest, which no longer lists p2)
+    again = lake.commit_partitions("rb", "s2", b, "bucket")
+    assert again.count() == 1
+    assert lake.read_table("rb").count() == 9
