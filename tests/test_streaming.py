@@ -186,3 +186,64 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     assert s.user_id == 1
     assert s.n_events == 3
     assert s.session_start.minute == 0 and s.session_end.minute == 40
+
+
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics: duplicates within the
+    horizon are dropped once; a duplicate arriving after its original's
+    state expired is re-emitted (horizon semantic, swept by batch)."""
+    from datetime import datetime, timezone
+
+    from cov_tiles_spark.streaming.dedup import dedup_stream_by_content
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts timestamp, doc_id long, text string"
+
+    def t(minute):
+        return datetime(2024, 1, 1, 12, minute, tzinfo=timezone.utc)
+
+    # batch 1: A, B on time
+    _write_drop(
+        spark, f"{landing}/d1",
+        [(t(0), 1, "alpha"), (t(1), 2, "beta")],
+        schema, mtime=1_700_000_000,
+    )
+    # batch 2: duplicate of A (same content, different doc_id) within the
+    # 10-minute horizon -> dropped; new C emitted
+    _write_drop(
+        spark, f"{landing}/d2",
+        [(t(2), 3, "alpha"), (t(3), 4, "gamma")],
+        schema, mtime=1_700_000_100,
+    )
+    # batches 3+4: advance the watermark far past t(0) (two advancing
+    # batches; see the two-watermark note above)
+    _write_drop(spark, f"{landing}/d3", [(t(40), 5, "delta")],
+                schema, mtime=1_700_000_200)
+    _write_drop(spark, f"{landing}/d4", [(t(41), 6, "epsilon")],
+                schema, mtime=1_700_000_300)
+    # batch 5: duplicate of A AFTER state expiry -> re-emitted (horizon)
+    _write_drop(spark, f"{landing}/d5", [(t(42), 7, "alpha")],
+                schema, mtime=1_700_000_400)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/*")
+    )
+    q = (
+        dedup_stream_by_content(stream, "text", watermark="10 minutes")
+        .writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = [
+        (r.doc_id, r.text)
+        for r in spark.sql("select * from dedup_out order by doc_id").collect()
+    ]
+    # doc 3 (in-horizon duplicate) dropped; doc 7 (post-expiry) re-emitted
+    assert got == [(1, "alpha"), (2, "beta"), (4, "gamma"), (5, "delta"),
+                   (6, "epsilon"), (7, "alpha")]
