@@ -846,6 +846,42 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_pq_rerank(spark, sf_dir):
+    """Product-quantization ANN (operators/pq.py — the memory-scale
+    path: 64xf32 vectors stored as 8 one-byte codes, scored by ADC table
+    lookups without reconstructing): ADC-scored candidates -> exact
+    dot-product re-rank -> top-10. Gate setting keeps ALL candidates so
+    the re-rank is provably exact and the DuckDB twin is the plain exact
+    top-k (the IVF probe-all precedent — sf0.01 embeddings are
+    unclustered random vectors, where bounded-candidate recall is a
+    data property, not an operator property); partial-candidate recall
+    is pytest-covered on clustered corpora."""
+    from cov_tiles_spark.operators.pq import pq_encode, pq_topk, pq_train
+    from cov_tiles_spark.operators.similarity import _dot_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in
+            emb.filter(F.col("vec_id") == 2).select("embedding").collect()[0][0]]
+    cb = pq_train(emb, "embedding", "vec_id", dim=64, m=8, nbits=4)
+    cand = pq_topk(
+        pq_encode(emb, "embedding", cb), "vec_id", qvec, 500, cb
+    ).select(F.col("id").alias("vec_id"))
+    q = F.array(*[F.lit(v) for v in qvec])
+    rer = (
+        emb.join(cand, "vec_id", "left_semi")
+        .select(
+            "vec_id",
+            F.round(_dot_expr(F.col("embedding"), q), 6).alias("_d"),
+        )
+        .orderBy(F.col("_d").desc(), "vec_id")
+        .limit(10)
+    )
+    return rer.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("_d").desc(), "vec_id")),
+    ).select("rank", "vec_id")
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs via hyperplane LSH (dedup #5;
     rows-only — pandas-UDF signatures)."""
@@ -1171,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ivf_topk": q_ivf_topk,
+        "q_pq_rerank": q_pq_rerank,
         "q_embedding_near_dups": q_embedding_near_dups,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_image_invariants": q_image_invariants,
@@ -1548,6 +1585,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # all-lists-probed IVF == exact brute force, so the twin is the
         # same top-k shape against the vec_id=1 query vector
+        "q_pq_rerank": """
+            WITH q AS (
+              SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id = 2),
+            scored AS (
+              SELECT vec_id, round(list_dot_product(ev, qv), 6) AS d
+              FROM (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+                    FROM embeddings) CROSS JOIN q)
+            SELECT cast(row_number() OVER (ORDER BY d DESC, vec_id) as int) AS rank,
+                   vec_id
+            FROM scored ORDER BY d DESC, vec_id LIMIT 10
+        """,
         "q_ivf_topk": """
             WITH q AS (
               SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

@@ -1,0 +1,98 @@
+"""Product quantization: codeword exactness, numpy-oracle score parity,
+clustered recall, compression shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cov_tiles_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+DIM, M, NBITS = 32, 8, 4
+SUB = DIM // M
+
+
+def _clustered(n_clusters=12, per=40, noise=0.02, seed=5):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 1, (n_clusters, DIM))
+    rows = []
+    for ci in range(n_clusters):
+        pts = centers[ci] + rng.normal(0, noise, (per, DIM))
+        rows.extend(pts)
+    return np.asarray(rows)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    x = _clustered()
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>",
+    ).persist()
+    cb = pq_train(df, "embedding", "vec_id", DIM, m=M, nbits=NBITS)
+    return x, df, cb
+
+
+def test_codebook_shape_and_code_width(corpus):
+    x, df, cb = corpus
+    assert cb.shape == (M, 1 << NBITS, SUB)
+    row = pq_encode(df, "embedding", cb).select("pq_code").first()
+    assert len(row.pq_code) == M  # 8 code ids vs 32 floats stored
+
+
+def test_codes_and_scores_match_numpy_oracle(corpus):
+    x, df, cb = corpus
+    # encode via operator, score via operator's ADC on a fixed query
+    q = [float(v) for v in x[7]]
+    enc = pq_encode(df, "embedding", cb)
+    scored = pq_topk(enc, "vec_id", q, k=len(x), codebooks=cb)
+    got = {r.id: (r.adc_score) for r in scored.collect()}
+    # independent per-row numpy oracle (same definition)
+    qv = np.asarray(q)
+    lut = np.stack([cb[j] @ qv[j * SUB:(j + 1) * SUB] for j in range(M)])
+    for i in range(len(x)):
+        codes = []
+        for j in range(M):
+            xs = x[i, j * SUB:(j + 1) * SUB]
+            d = ((cb[j] - xs) ** 2).sum(axis=1)
+            codes.append(int(np.argmin(d)))
+        want = float(sum(lut[j][codes[j]] for j in range(M)))
+        assert got[i] == pytest.approx(want, abs=1e-9)
+
+
+def test_candidate_recall_and_rerank(corpus):
+    """PQ's contract is candidate generation: quantization error (~the
+    codebook resolution) swamps the 0.02 within-cluster noise, so exact
+    order among near-identical vectors is not recoverable — but the
+    query's cluster must dominate the ADC ranking, and an exact re-rank
+    of the ADC top-50 must recover the true top-10 (the IVF-PQ shape)."""
+    x, df, cb = corpus
+    q = x[100]
+    cluster = set(range(80, 120))  # vec 100 lives in cluster 2 (40/cluster)
+    enc = pq_encode(df, "embedding", cb).persist()
+    cand = [
+        r.id for r in pq_topk(enc, "vec_id", [float(v) for v in q], 50, cb).collect()
+    ]
+    assert len(set(cand) & cluster) >= 36  # >= 90% of the cluster surfaces
+    exact10 = set(np.argsort(-(x @ q))[:10].tolist())
+    rerank = sorted(cand, key=lambda i: -float(x[i] @ q))[:10]
+    assert set(rerank) == exact10  # exact re-rank over candidates recovers truth
+
+
+def test_codeword_vectors_score_exactly(spark):
+    # vectors that ARE codewords: ADC == true dot product exactly
+    rng = np.random.default_rng(11)
+    cb = rng.normal(0, 1, (M, 1 << NBITS, SUB))
+    codes = rng.integers(0, 1 << NBITS, (20, M))
+    vecs = np.concatenate(
+        [cb[j][codes[:, j]] for j in range(M)], axis=1
+    )  # (20, DIM)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    q = [float(v) for v in rng.normal(0, 1, DIM)]
+    enc = pq_encode(df, "embedding", cb)
+    got = {r.id: r.adc_score for r in pq_topk(enc, "vec_id", q, 20, cb).collect()}
+    for i in range(20):
+        assert got[i] == pytest.approx(float(vecs[i] @ np.asarray(q)), rel=1e-12)
