@@ -96,3 +96,32 @@ def test_codeword_vectors_score_exactly(spark):
     got = {r.id: r.adc_score for r in pq_topk(enc, "vec_id", q, 20, cb).collect()}
     for i in range(20):
         assert got[i] == pytest.approx(float(vecs[i] @ np.asarray(q)), rel=1e-12)
+
+
+def test_ivf_pq_composition(corpus, spark):
+    """The IVF-PQ shape: coarse quantizer prunes WHICH rows are scored,
+    PQ codes are WHAT is scored — pq_topk over the probed lists only."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from cov_tiles_spark.operators.similarity import (
+        ivf_assign, ivf_train_centroids,
+    )
+
+    x, df, cb = corpus
+    q = x[100]
+    cents = ivf_train_centroids(df, "embedding", "vec_id", DIM, n_centroids=12)
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(-(cents @ qn))[:3].astype(int).tolist()
+    pruned = ivf_assign(df, "embedding", cents).filter(
+        F.col("list_id").isin(probe)
+    )
+    n_scored = pruned.count()
+    assert n_scored < len(x)  # the probe really pruned the scan
+    enc = pq_encode(pruned, "embedding", cb)
+    cand = [
+        r.id for r in pq_topk(enc, "vec_id", [float(v) for v in q], 50, cb).collect()
+    ]
+    # the query's own cluster survives both the IVF probe and PQ ranking
+    assert len(set(cand) & set(range(80, 120))) >= 36
