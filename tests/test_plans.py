@@ -1,0 +1,96 @@
+"""Plan-shape regression tests: lock the physical-plan properties the
+100 TB design depends on, so a refactor that silently degrades a plan
+(global-window top-k, lost pushdown, lost map-side combine, an extra
+exchange) fails CI instead of failing at scale."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+def test_cosine_topk_is_take_ordered_not_global_window(spark):
+    from cov_tiles_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [0.1] * 64
+    plan = _plan(cosine_topk(emb, "embedding", "vec_id", q, 10))
+    # distributed per-partition heaps, NOT a single-partition sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_parquet_pushdown_and_pruning(lineitem):
+    df = lineitem.filter(F.col("l_quantity") > 45).select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
+    # column pruning: the scan must read ONLY the two selected columns
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_comment" not in rs and "l_partkey" not in rs
+
+
+def test_small_dim_join_broadcasts(spark, lineitem):
+    supp = spark.read.parquet(f"{SF}/supplier.parquet")
+    j = lineitem.join(F.broadcast(supp), lineitem.l_suppkey == supp.s_suppkey)
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_hash_sample_is_map_only(lineitem):
+    from cov_tiles_spark.operators.sampling import hash_sample
+
+    plan = _plan(hash_sample(lineitem, 0.1, "l_orderkey"))
+    assert "Exchange" not in plan  # a sample must never shuffle
+
+
+def test_bloom_prefilter_is_map_side(spark, lineitem):
+    from cov_tiles_spark.operators.bloomjoin import bloom_filter_rows, build_bloom
+
+    small = spark.createDataFrame([(i,) for i in range(50)], "l_orderkey long")
+    bloom = build_bloom(small, "l_orderkey", 1 << 14, 5)
+    pruned = bloom_filter_rows(
+        lineitem.select("l_orderkey", "l_quantity"), "l_orderkey",
+        bloom, 1 << 14, 5,
+    )
+    # the whole point: rows are dropped BEFORE any exchange
+    assert "Exchange" not in _plan(pruned)
+
+
+def test_hll_registers_combine_map_side(lineitem):
+    from cov_tiles_spark.operators.sketch import hll_registers
+
+    plan = _plan(hll_registers(lineitem, "l_partkey", ["l_returnflag"]))
+    # partial_max before the exchange == map-side combine: the wire
+    # carries registers, not keys
+    pre_exchange = plan.split("Exchange")[-1]
+    assert "partial_max" in pre_exchange
+
+
+def test_knn_prefilter_reaches_join(spark):
+    """The radius prefilter must sit under the join (filter the big
+    cartesian before the window), not above it."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q_knn"](spark, SF)
+    opt = _optimized(df)
+    assert "Join" in opt
+    # the L-inf box predicate appears in the optimized plan
+    assert "abs(" in opt.lower()
