@@ -166,3 +166,72 @@ def rasterize_tiles(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(
         _render, schema="z int, x int, y int, raster binary, w int, h int, fmt string"
     )
+
+
+def raster_overview_level(rasters: DataFrame) -> DataFrame:
+    """One overview level: parent-tile rasters downsampled from their
+    (up to 4) children — the COG/overview pyramid step, and the raster
+    analogue of ``pipeline/pyramid.py``'s vector rollup.
+
+    Each child's G x G image lands in its quadrant of a 2G x 2G parent
+    mosaic (missing children stay black — sparse tiles are normal at
+    depth), then an exact integer 2x2 box mean ((a+b+c+d) // 4, no float
+    drift) reduces the mosaic to the parent's G x G. Grouping is
+    applyInPandas keyed on the PARENT tile: groups are at most 4 rows,
+    and each level has 4x fewer tiles than the one below, so the
+    per-group Arrow overhead that ruled out grouped-map for the encode
+    stage is immaterial here.
+    """
+
+    def _downsample(pdf: pd.DataFrame) -> pd.DataFrame:
+        mosaic = np.zeros((2 * GRID, 2 * GRID, 3), dtype=np.uint16)
+        for _, row in pdf.iterrows():
+            img = np.frombuffer(bytes(row["raster"]), dtype=np.uint8).reshape(
+                GRID, GRID, 3
+            )
+            qy = (int(row["y"]) & 1) * GRID
+            qx = (int(row["x"]) & 1) * GRID
+            mosaic[qy : qy + GRID, qx : qx + GRID] = img
+        down = (
+            mosaic[0::2, 0::2].astype(np.uint32)
+            + mosaic[0::2, 1::2]
+            + mosaic[1::2, 0::2]
+            + mosaic[1::2, 1::2]
+        ) // 4
+        return pd.DataFrame(
+            [
+                {
+                    "z": int(pdf["z"].iloc[0]) - 1,
+                    "x": int(pdf["x"].iloc[0]) >> 1,
+                    "y": int(pdf["y"].iloc[0]) >> 1,
+                    "raster": down.astype(np.uint8).tobytes(),
+                    "w": GRID, "h": GRID, "fmt": "raw",
+                }
+            ]
+        )
+
+    return (
+        rasters.groupBy(
+            (F.col("z") - 1).alias("_pz"),
+            F.shiftright("x", 1).alias("_px"),
+            F.shiftright("y", 1).alias("_py"),
+        )
+        .applyInPandas(
+            _downsample,
+            schema="z int, x int, y int, raster binary, w int, h int, fmt string",
+        )
+    )
+
+
+def raster_overviews(rasters: DataFrame, zmin: int, zmax: int) -> DataFrame:
+    """Full overview pyramid: levels zmin..zmax-1 derived bottom-up from
+    the zmax rasters. Each level is 4x smaller; intermediate levels are
+    persisted (each feeds both the output union and the next level)."""
+    out: list[DataFrame] = []
+    level = rasters.filter(F.col("z") == zmax)
+    for _ in range(zmax, zmin, -1):
+        level = raster_overview_level(level).persist()
+        out.append(level)
+    from functools import reduce
+
+    return reduce(DataFrame.unionAll, out)

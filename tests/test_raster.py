@@ -74,3 +74,67 @@ def test_raster_cell_stats_match_oracle(spark, corpus):
             cnt, sr, sg, sb = agg[key]
             assert n_imgs[j] == cnt, key
             assert mr[j] == round(sr / cnt), (key, mr[j], sr / cnt)
+
+
+def test_overview_level_exact_box_mean(spark):
+    import numpy as np
+
+    from cov_tiles_spark.pipeline.raster import GRID, raster_overview_level
+
+    rng = np.random.default_rng(8)
+    kids = {}
+    rows = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            img = rng.integers(0, 256, (GRID, GRID, 3), dtype=np.uint8)
+            kids[(dx, dy)] = img
+            rows.append((5, 10 + dx, 6 + dy, img.tobytes(), GRID, GRID, "raw"))
+    # second parent with ONE child present (sparse): quadrant fill = black
+    lone = rng.integers(0, 256, (GRID, GRID, 3), dtype=np.uint8)
+    rows.append((5, 21, 7, lone.tobytes(), GRID, GRID, "raw"))
+    df = spark.createDataFrame(
+        rows, "z int, x int, y int, raster binary, w int, h int, fmt string"
+    )
+    got = {
+        (r.z, r.x, r.y): np.frombuffer(bytes(r.raster), dtype=np.uint8).reshape(
+            GRID, GRID, 3
+        )
+        for r in raster_overview_level(df).collect()
+    }
+    assert set(got) == {(4, 5, 3), (4, 10, 3)}
+
+    # scalar oracle for the full parent
+    mosaic = np.zeros((2 * GRID, 2 * GRID, 3), dtype=np.int64)
+    for (dx, dy), img in kids.items():
+        mosaic[dy * GRID:(dy + 1) * GRID, dx * GRID:(dx + 1) * GRID] = img
+    want = np.zeros((GRID, GRID, 3), dtype=np.uint8)
+    for i in range(GRID):
+        for j in range(GRID):
+            for c in range(3):
+                want[i, j, c] = (
+                    int(mosaic[2 * i, 2 * j, c]) + int(mosaic[2 * i, 2 * j + 1, c])
+                    + int(mosaic[2 * i + 1, 2 * j, c]) + int(mosaic[2 * i + 1, 2 * j + 1, c])
+                ) // 4
+    assert np.array_equal(got[(4, 5, 3)], want)
+    # sparse parent: x=21 is the RIGHT half (bit 0 = 1), y=7 the BOTTOM
+    sparse = got[(4, 10, 3)]
+    assert sparse[:GRID // 2, :GRID // 2].sum() == 0  # empty quadrants black
+    lone_q = sparse[GRID // 2:, GRID // 2:]
+    assert lone_q.sum() > 0
+
+
+def test_overview_pyramid_end_to_end(spark, corpus):
+    from pyspark.sql import functions as F
+
+    from cov_tiles_spark.pipeline.raster import (
+        raster_grid_tiles, raster_overviews, rasterize_tiles,
+    )
+
+    payloads = raster_grid_tiles(corpus, [6])
+    rasters = rasterize_tiles(payloads)
+    over = raster_overviews(rasters, zmin=4, zmax=6)
+    levels = {
+        r.z: r.n for r in over.groupBy("z").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(levels) == {4, 5}
+    assert levels[4] <= levels[5]  # each level coarser than the one below
