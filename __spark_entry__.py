@@ -751,6 +751,25 @@ def q_minhash_dedup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py — the standard
+    13-word-gram eval-overlap pass): every 50th document is the 'eval
+    set'; the corpus (docs + planted copies) is flagged where any 13-gram
+    overlaps. Integer-exact rolling hashes, so the independent scalar
+    oracle (scripts/build_oracles.py) matches bit-for-bit."""
+    from cov_tiles_spark.operators.decontam import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    corpus = d.select("doc_id", "text").unionAll(planted)
+    bench = d.filter(F.col("doc_id") % 50 == 0).select("text")
+    return (
+        decontaminate(corpus, bench)
+        .select("doc_id", "is_contaminated")
+        .orderBy("doc_id")
+    )
+
+
 def q_dup_clusters(spark, sf_dir):
     """Transitive closure of the minhash near-dup pairs -> one canonical
     doc per duplicate cluster (dedup #2b: pairs alone don't dedup a
@@ -1202,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_quality": q_quality,
         "q_minhash_dedup": q_minhash_dedup,
+        "q_decontaminate": q_decontaminate,
         "q_dup_clusters": q_dup_clusters,
         "q_simhash_dedup": q_simhash_dedup,
         "q_cosine_topk": q_cosine_topk,
@@ -1645,6 +1665,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, hamming
             FROM read_parquet('{_ORACLE_DIR}/q_simhash_dedup.parquet')
             ORDER BY id_a, id_b
+        """,
+        "q_decontaminate": f"""
+            SELECT doc_id, is_contaminated
+            FROM read_parquet('{_ORACLE_DIR}/q_decontaminate.parquet')
+            ORDER BY doc_id
         """,
         "q_dup_clusters": f"""
             SELECT doc_id, cluster, is_canonical

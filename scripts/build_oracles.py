@@ -734,6 +734,42 @@ def q_frame_sample(sf_dir: str, k: int = 4) -> pd.DataFrame:
               "frames_sampled": "int32", "frame_phash_xor": "int64"})
 
 
+def q_decontaminate(sf_dir: str, n: int = 13) -> pd.DataFrame:
+    """Scalar 13-word-gram contamination flags (operators/decontam.py
+    twin): FNV-1a word hashes, base-1000000007 polynomial n-gram hashes,
+    all mod 2^64 in plain python ints — integer-exact."""
+    FNV, OFF, P, M = 1099511628211, 14695981039346656037, 1000000007, 1 << 64
+
+    def word_hash(w: str) -> int:
+        h = OFF
+        for b in w.encode("utf-8"):
+            h = ((h ^ b) * FNV) % M
+        return h
+
+    def ngrams(text: str) -> set[int]:
+        wh = [word_hash(w) for w in text.lower().split()]
+        out = set()
+        for s in range(len(wh) - n + 1):
+            acc = 0
+            for h in wh[s : s + n]:
+                acc = (acc * P + h) % M
+            out.add(acc)
+        return out
+
+    d = load(sf_dir, "documents")[["doc_id", "text"]]
+    bench: set[int] = set()
+    for _, row in d[d["doc_id"] % 50 == 0].iterrows():
+        bench |= ngrams(row["text"])
+    corpus = planted_docs(sf_dir)
+    flags = [
+        bool(ngrams(t) & bench) for t in corpus["text"]
+    ]
+    out = pd.DataFrame(
+        {"doc_id": corpus["doc_id"].astype("int64"), "is_contaminated": flags}
+    )
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q_dup_clusters(sf_dir: str) -> pd.DataFrame:
     """Union-find closure of the independently-computed minhash pair set
     over the planted corpus (operators/cluster.py twin: large/small-star
@@ -776,6 +812,7 @@ ORACLES = {
     "q_resize": q_resize,
     "q_token_counts_bpe": q_token_counts_bpe,
     "q_dup_clusters": q_dup_clusters,
+    "q_decontaminate": q_decontaminate,
 }
 
 
