@@ -44,16 +44,23 @@ def main() -> None:
         "features_per_sec": round(stats.nf / el),
     }
     print(json.dumps(result))
-    with open("BENCH/BASELINE.md", "a") as f:
-        f.write(
-            "\n## Large-corpus smoke (robustness at 8x the bench scale)\n\n"
-            "| metric | value | config | source |\n|---|---|---|---|\n"
-            f"| {n:,} records, z2-z12 pyramid | {stats.tiles:,} tiles / "
-            f"{stats.nf / 1e6:.2f}M capped features / {stats.covt / 1e6:.1f} MB "
-            f"payloads in {el:.1f}s ({stats.nf / el / 1000:.1f}k features/s) | "
-            f"local[32], shuffle=128, cap=20k enforced (max tile = "
-            f"{stats.max_nf}), no spill/OOM | this script |\n"
-        )
+    from _sections import replace_section
+
+    md = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH", "BASELINE.md",
+    )
+    replace_section(
+        md,
+        "## Large-corpus smoke (robustness at 8x the bench scale)",
+        "## Large-corpus smoke (robustness at 8x the bench scale)\n\n"
+        "| metric | value | config | source |\n|---|---|---|---|\n"
+        f"| {n:,} records, z2-z12 pyramid | {stats.tiles:,} tiles / "
+        f"{stats.nf / 1e6:.2f}M capped features / {stats.covt / 1e6:.1f} MB "
+        f"payloads in {el:.1f}s ({stats.nf / el / 1000:.1f}k features/s) | "
+        f"local[32], shuffle=128, cap=20k enforced (max tile = "
+        f"{stats.max_nf}), no spill/OOM | this script |\n\n",
+    )
 
 
 if __name__ == "__main__":
