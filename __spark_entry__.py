@@ -493,7 +493,12 @@ def q_knn(spark, sf_dir):
     fall back to the unfiltered window — exactness never depends on r.
     """
     k, r = 5, 3.0
-    pts = _events_points(spark, sf_dir)
+    # widen the scan before the broadcast cross join: the events parquet
+    # is 1-3 files, so without this the 100k x 50 pair evaluation runs on
+    # 1-3 tasks (measured 3.9-6.1s; 1.4-2.0s repartitioned to core count)
+    pts = _events_points(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     q = spark.range(50).select(
         F.col("id").alias("query_id"),
         (((F.col("id") * 37 + 11) * 9973 % 3600) / F.lit(10.0) - F.lit(180.0) + F.lit(0.05)).alias("q_lon"),
