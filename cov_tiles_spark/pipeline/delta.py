@@ -1,0 +1,128 @@
+"""Incremental batch materialization: re-encode ONLY tiles whose input
+rows changed since the last run.
+
+A daily 100 TB ingest touches a sliver of the tile pyramid; recomputing
+every tile is the dominant waste in naive batch jobs. This operator
+compares each tile's INPUT checksum (order-insensitive bit_xor of
+xxhash64 over the assigned feature rows) against the checksum recorded
+in the IcebergLite manifest by the previous run, and re-encodes only
+new-or-changed tiles, committing them as overwrite snapshots — readers
+use ``lake.read_table(table, latest_only=True)`` and always see exactly
+the full-recompute result (asserted in tests), while time travel keeps
+every previous version readable.
+
+Scale shape: the checksum pass is a pure JVM hash aggregation over the
+(already computed) assignment — no Python, map-side combined; the
+changed-set is resolved with a join against the manifest (never a
+driver-side key list); unchanged tiles cost one aggregation row each,
+not an encode."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cov_tiles_spark.pipeline.lineage import IcebergLite
+from cov_tiles_spark.pipeline.materialize import (
+    _STREAM_COLS,
+    assign_tiles,
+    encode_assigned,
+)
+from cov_tiles_spark.spatial.tiling import DEFAULT_EXTENT
+
+def _tile_key() -> F.Column:
+    # underscore join: "/" in hive partition values gets %-escaped in
+    # directory names — legal but noisy; keep keys filesystem-clean.
+    # (a function, not a module constant: building a Column requires an
+    # active SparkContext, which imports must not assume)
+    return F.concat_ws("_", F.col("z"), F.col("x"), F.col("y"))
+
+
+def input_checksums(assigned: DataFrame) -> DataFrame:
+    """(tile_key, input_checksum, n_rows) per tile — order-insensitive
+    (bit_xor) and ANSI-overflow-safe."""
+    cols = [c for c in _STREAM_COLS if c not in ("z", "x", "y")]
+    return (
+        assigned.groupBy(_tile_key().alias("tile_key"))
+        .agg(
+            F.expr(
+                f"bit_xor(xxhash64(z, x, y, {', '.join(cols)}))"
+            ).alias("input_checksum"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def delta_materialize(
+    lake: IcebergLite,
+    images: DataFrame,
+    zooms: list[int],
+    table: str = "tiles",
+    extent: int = DEFAULT_EXTENT,
+    max_features_per_tile: int = 20_000,
+    wire_format: str = "gena",
+) -> dict:
+    """Encode new-or-changed tiles only; returns
+    ``{"changed": n, "unchanged": n, "total": n}``.
+
+    The previous run's input checksums live in the ``<table>_inputs``
+    manifest stage (committed alongside the payloads); the current
+    assignment's checksums are anti-joined against them to find work.
+    """
+    cols = ["image_id", "caption", "fmt", "w", "h", "phash", "lon", "lat"]
+    assigned = assign_tiles(images.select(*cols), zooms, extent).persist()
+    cur = input_checksums(assigned).persist()
+    total = cur.count()
+
+    try:
+        prev_latest = lake.read_table(
+            f"{table}_inputs", latest_only=True
+        ).select(
+            "tile_key", F.col("input_checksum").alias("_prev_sum")
+        )
+    except FileNotFoundError:  # first run: everything is new
+        prev_latest = lake.spark.createDataFrame(
+            [], "tile_key string, _prev_sum long"
+        )
+    changed_keys = (
+        cur.join(prev_latest, "tile_key", "left")
+        .filter(
+            F.col("_prev_sum").isNull()
+            | (F.col("_prev_sum") != F.col("input_checksum"))
+        )
+        .select("tile_key")
+        .persist()
+    )
+    n_changed = changed_keys.count()
+
+    if n_changed:
+        todo = assigned.join(
+            changed_keys,
+            _tile_key() == changed_keys["tile_key"],
+            "left_semi",
+        )
+        payloads = encode_assigned(
+            todo,
+            max_features_per_tile=max_features_per_tile,
+            with_mvt_baseline=False,
+            wire_format=wire_format,
+        ).withColumn("tile_key", _tile_key())
+        lake.commit_partitions(
+            table, "encode", payloads, "tile_key", mode="overwrite"
+        )
+        # record the inputs that produced those payloads, same snapshot
+        # discipline: one row per re-encoded tile
+        new_sums = cur.join(changed_keys, "tile_key", "left_semi").select(
+            "tile_key", "input_checksum", "n_rows"
+        )
+        lake.commit_partitions(
+            f"{table}_inputs", "inputs", new_sums, "tile_key", mode="overwrite"
+        )
+    assigned.unpersist()
+    cur.unpersist()
+    changed_keys.unpersist()
+    return {
+        "changed": int(n_changed),
+        "unchanged": int(total - n_changed),
+        "total": int(total),
+    }

@@ -74,19 +74,32 @@ class IcebergLite:
         stage: str,
         df: DataFrame,
         partition_col: str,
+        mode: str = "skip-done",
     ) -> DataFrame:
         """Write ``df`` partitioned by ``partition_col``, skipping already-
         committed partitions; append manifest rows with row/byte metrics
-        and a value checksum. Returns the manifest rows written."""
-        done = self.committed_keys_df(table, stage).withColumnRenamed(
-            "partition_key", "_done_pk"
-        )
-        # left-anti join against the manifest: distributed resume filter
-        # (scales to millions of committed partitions; an isin literal list
-        # would serialize them all into the plan)
-        df = df.join(
-            done, df[partition_col].cast("string") == done["_done_pk"], "left_anti"
-        )
+        and a value checksum. Returns the manifest rows written.
+
+        ``mode="skip-done"`` (resume): partitions already in the manifest
+        are filtered out. ``mode="overwrite"``: every partition in ``df``
+        is written as a NEW snapshot — readers using
+        ``read_table(latest_only=True)`` see the new version, the old
+        snapshot stays readable via time travel (Iceberg's upsert shape;
+        used by delta_materialize for changed partitions)."""
+        if mode not in ("skip-done", "overwrite"):
+            raise ValueError(f"unknown commit mode {mode!r}")
+        if mode == "skip-done":
+            done = self.committed_keys_df(table, stage).withColumnRenamed(
+                "partition_key", "_done_pk"
+            )
+            # left-anti join against the manifest: distributed resume
+            # filter (scales to millions of committed partitions; an isin
+            # literal list would serialize them all into the plan)
+            df = df.join(
+                done,
+                df[partition_col].cast("string") == done["_done_pk"],
+                "left_anti",
+            )
 
         snapshot_id = uuid.uuid4().hex[:16]
         data_dir = f"{self.root}/{table}/snapshot_id={snapshot_id}"
@@ -128,20 +141,31 @@ class IcebergLite:
 
     # ---------------- read path ----------------
 
-    def read_table(self, table: str, as_of_ns: int | None = None) -> DataFrame:
+    def read_table(
+        self,
+        table: str,
+        as_of_ns: int | None = None,
+        latest_only: bool = False,
+    ) -> DataFrame:
         """Read the committed snapshots of a table (manifest-gated).
 
         ``as_of_ns`` is Iceberg-style time travel: only snapshots whose
         manifest commit timestamp is <= the bound are visible — the view
         any reader saw at that instant, reconstructible forever because
-        commits are append-only."""
+        commits are append-only.
+
+        ``latest_only``: upsert semantics — for every partition_key, keep
+        rows only from its newest visible snapshot (overwrite commits
+        supersede; pure-append tables are unaffected since each key then
+        has one snapshot). The filter is a broadcast semi-join on
+        (snapshot_id, partition_key) pairs derived from the manifest."""
         base = f"{self.root}/{table}"
         snaps = [
             d for d in os.listdir(base) if d.startswith("snapshot_id=")
         ] if os.path.isdir(base) else []
         if not snaps:
             raise FileNotFoundError(f"no snapshots for table {table}")
-        vis = self.manifests().select("snapshot_id", "committed_at_ns")
+        vis = self.manifests().filter(F.col("table") == table)
         if as_of_ns is not None:
             vis = vis.filter(F.col("committed_at_ns") <= as_of_ns)
         committed = {
@@ -154,10 +178,43 @@ class IcebergLite:
             raise FileNotFoundError(
                 f"no snapshots for table {table} at as_of_ns={as_of_ns}"
             )
-        return (
-            self.spark.read.option("basePath", base).parquet(*paths)
-            .drop("snapshot_id")
-        )
+        df = self.spark.read.option("basePath", base).parquet(*paths)
+        if latest_only:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("partition_key").orderBy(
+                F.col("committed_at_ns").desc(), F.col("snapshot_id").desc()
+            )
+            winners = (
+                vis.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1)
+                .select(
+                    F.col("snapshot_id").alias("_w_snap"),
+                    F.col("partition_key").alias("_w_pk"),
+                )
+            )
+            pcol = [c for c in df.columns if c not in ("snapshot_id",)]
+            part_col = self._partition_col_of(df)
+            df = df.join(
+                F.broadcast(winners),
+                (df["snapshot_id"] == winners["_w_snap"])
+                & (df[part_col].cast("string") == winners["_w_pk"]),
+                "left_semi",
+            ).select(*pcol)
+        return df.drop("snapshot_id")
+
+    @staticmethod
+    def _partition_col_of(df: DataFrame) -> str:
+        """The hive-partition column parquet recovered besides
+        snapshot_id (data lands under
+        snapshot_id=<id>/<partition_col>=<key>/)."""
+        # snapshot_id and the data partition col are the trailing
+        # partition-discovery columns; the data col is the one whose
+        # values appear as partition_key strings in the manifest
+        for c in reversed(df.columns):
+            if c != "snapshot_id":
+                return c
+        raise ValueError("no partition column recovered")
 
     def snapshots(self, table: str) -> DataFrame:
         """Snapshot log: (snapshot_id, stage, committed_at_ns,
