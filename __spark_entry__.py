@@ -604,6 +604,29 @@ def q_tile_pyramid(spark, sf_dir):
     return decode_tiles(tiles).orderBy("z", "x", "y", "feature_id")
 
 
+def q_delta_tiles(spark, sf_dir):
+    """Incremental materialization under the gate (pipeline/delta.py):
+    commit tiles for HALF the corpus, then delta-run the full corpus —
+    only tiles touched by the other half re-encode (overwrite snapshots)
+    — and decode the latest-wins view. A hash match against the same
+    events SQL twin as q_tile_encode proves incremental == full
+    recompute, through the manifest/checksum/latest-read machinery."""
+    import tempfile
+
+    from cov_tiles_spark.pipeline.delta import delta_materialize
+    from cov_tiles_spark.pipeline.lineage import IcebergLite
+    from cov_tiles_spark.pipeline.materialize import decode_tiles
+
+    lake = IcebergLite(spark, tempfile.mkdtemp(prefix="delta_gate_"))
+    imgs = _events_images(spark, sf_dir)
+    half = imgs.filter(F.substring("image_id", 16, 1).isin("0", "2", "4", "6", "8"))
+    delta_materialize(lake, half, [2, 4, 6])
+    stats = delta_materialize(lake, imgs, [2, 4, 6])
+    assert stats["changed"] > 0, "second corpus must touch tiles"
+    tiles = lake.read_table("tiles", latest_only=True).drop("tile_key")
+    return decode_tiles(tiles).orderBy("z", "x", "y", "feature_id")
+
+
 def q_tile_export_mvt(spark, sf_dir):
     """The REVERSE transcode direction under the driver gate: the same
     encode pipeline, but every COVT payload is exported back to MVT
@@ -1216,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_feature_counts": q_tile_feature_counts,
         "q_tile_encode": q_tile_encode,
         "q_tile_pyramid": q_tile_pyramid,
+        "q_delta_tiles": q_delta_tiles,
         "q_tile_encode_genb": q_tile_encode_genb,
         "q_tile_export_mvt": q_tile_export_mvt,
         "q_raster_cells": q_raster_cells,
@@ -1809,6 +1833,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["q_tile_pyramid"] = oracles["q_tile_encode"].replace(
         "unnest([2, 4, 6])", "unnest([2, 3, 4, 5, 6])"
     )
+    # incremental (half -> full) must reproduce the identical full table
+    oracles["q_delta_tiles"] = oracles["q_tile_encode"]
     return oracles
 
 
