@@ -627,6 +627,47 @@ def q_delta_tiles(spark, sf_dir):
     return decode_tiles(tiles).orderBy("z", "x", "y", "feature_id")
 
 
+def q_overzoom(spark, sf_dir):
+    """Overzoom (pipeline/overzoom.py): z4 tiles encoded once, z5 tiles
+    DERIVED from the z4 payloads map-side (the tile-server fallback past
+    maxzoom). Child membership is exactly derivable from parent-quantized
+    coordinates (extent even => floor(frac*E) >= E/2 <=> frac >= 1/2), so
+    the twin computes z5 assignment directly from events; coordinates
+    carry parent quantization and are excluded (pinned within 1 unit by
+    pytest)."""
+    from cov_tiles_spark.pipeline.materialize import (
+        assign_tiles, encode_assigned,
+    )
+    from cov_tiles_spark.pipeline.overzoom import overzoom_tiles
+
+    imgs = _events_images(spark, sf_dir)
+    parents = encode_assigned(
+        assign_tiles(imgs, [4]), with_mvt_baseline=False
+    )
+    kids = overzoom_tiles(parents)
+
+    def explode_ids(batches):
+        from cov_tiles_spark.covt.decoder import decode_covt as _dec
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                for lay in _dec(bytes(row["payload"])).values():
+                    for fid in lay.ids:
+                        rows.append(
+                            {"z": row["z"], "x": row["x"], "y": row["y"],
+                             "feature_id": int(fid)}
+                        )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                columns=["z", "x", "y", "feature_id"]
+            )
+
+    return kids.mapInPandas(
+        explode_ids, schema="z int, x int, y int, feature_id long"
+    ).orderBy("z", "x", "y", "feature_id")
+
+
 def q_tile_export_mvt(spark, sf_dir):
     """The REVERSE transcode direction under the driver gate: the same
     encode pipeline, but every COVT payload is exported back to MVT
@@ -1240,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_encode": q_tile_encode,
         "q_tile_pyramid": q_tile_pyramid,
         "q_delta_tiles": q_delta_tiles,
+        "q_overzoom": q_overzoom,
         "q_tile_encode_genb": q_tile_encode_genb,
         "q_tile_export_mvt": q_tile_export_mvt,
         "q_raster_cells": q_raster_cells,
@@ -1835,6 +1877,16 @@ def oracle_sql() -> dict[str, str]:
     )
     # incremental (half -> full) must reproduce the identical full table
     oracles["q_delta_tiles"] = oracles["q_tile_encode"]
+    # overzoom membership: z5 assignment computed directly from events
+    oracles["q_overzoom"] = f"""
+        WITH pts AS (
+          SELECT event_id, {_MX_E} AS mx, {_MY_E} AS my FROM events)
+        SELECT 5 AS z,
+               cast(least(31, greatest(0, floor(mx * 32))) as int) AS x,
+               cast(least(31, greatest(0, floor(my * 32))) as int) AS y,
+               event_id AS feature_id
+        FROM pts ORDER BY z, x, y, feature_id
+    """
     return oracles
 
 
