@@ -620,8 +620,8 @@ def q_delta_tiles(spark, sf_dir):
     lake = IcebergLite(spark, tempfile.mkdtemp(prefix="delta_gate_"))
     imgs = _events_images(spark, sf_dir)
     half = imgs.filter(F.substring("image_id", 16, 1).isin("0", "2", "4", "6", "8"))
-    delta_materialize(lake, half, [2, 4, 6])
-    stats = delta_materialize(lake, imgs, [2, 4, 6])
+    delta_materialize(lake, half, [2, 4, 6], partition_buckets=32)
+    stats = delta_materialize(lake, imgs, [2, 4, 6], partition_buckets=32)
     assert stats["changed"] > 0, "second corpus must touch tiles"
     tiles = lake.read_table("tiles", latest_only=True).drop("tile_key")
     return decode_tiles(tiles).orderBy("z", "x", "y", "feature_id")

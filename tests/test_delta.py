@@ -83,3 +83,21 @@ def test_delta_runs(spark, lake):
         ).collect()
     }
     assert old == _full(spark, v1)
+
+
+def test_delta_bucketed(spark, lake):
+    """Bucket-granularity overwrite: fewer partitions, whole changed
+    buckets re-encode, latest-wins view still equals full recompute."""
+    v1 = _corpus(spark)
+    s1 = delta_materialize(lake, v1, ZOOMS, partition_buckets=16)
+    assert s1["changed"] == s1["total"]
+    assert _latest(lake) == _full(spark, v1)
+
+    s2 = delta_materialize(lake, v1, ZOOMS, partition_buckets=16)
+    assert s2["changed"] == 0
+
+    v2 = _corpus(spark, mutate=True, extra=True)
+    s3 = delta_materialize(lake, v2, ZOOMS, partition_buckets=16)
+    # widened to whole buckets, but still far below a full rebuild
+    assert 0 < s3["changed"] < s3["total"] // 2
+    assert _latest(lake) == _full(spark, v2)
