@@ -378,6 +378,23 @@ def q_hilbert_cells(spark, sf_dir):
     )
 
 
+def q_cell_rollup(spark, sf_dir):
+    """Hierarchical cell-stats rollup (spatial/cells.py
+    cell_stats_rollup — hypertable-style continuous aggregates): per-cell
+    counts at Hilbert level 13, coarser levels 11/9 derived from the
+    AGGREGATE table by the hierarchy property (parent = cell >> 2k, four
+    children consecutive on the curve). The twin re-aggregates the
+    committed independent-oracle cell table with the same shift
+    arithmetic in SQL."""
+    from cov_tiles_spark.spatial.cells import cell_s2l13, cell_stats_rollup
+
+    pts = _events_points(spark, sf_dir)
+    cells = pts.select(cell_s2l13("lon", "lat").alias("cell"))
+    return cell_stats_rollup(cells, "cell", [13, 11, 9]).orderBy(
+        "level", "cell"
+    )
+
+
 def q_h3_cells(spark, sf_dir):
     """H3-res-9-analogue hex cells (north_star: 'assigns every record to
     H3 res-9 / S2 level-13 cells'): pointy-top axial binning with cube
@@ -1272,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_local_coords": q_tile_local_coords,
         "q_morton_cells": q_morton_cells,
         "q_hilbert_cells": q_hilbert_cells,
+        "q_cell_rollup": q_cell_rollup,
         "q_h3_cells": q_h3_cells,
         "q_pip": q_pip,
         "q_pip_join": q_pip_join,
@@ -1716,6 +1734,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell, n_points
             FROM read_parquet('{_ORACLE_DIR}/q_hilbert_cells.parquet')
             ORDER BY cell
+        """,
+        "q_cell_rollup": f"""
+            WITH base AS (
+              SELECT cell, n_points
+              FROM read_parquet('{_ORACLE_DIR}/q_hilbert_cells.parquet'))
+            SELECT cast(13 as int) AS level, cell,
+                   cast(n_points as bigint) AS n_points FROM base
+            UNION ALL
+            SELECT cast(11 as int), cell >> 4, cast(sum(n_points) as bigint)
+            FROM base GROUP BY cell >> 4
+            UNION ALL
+            SELECT cast(9 as int), cell >> 8, cast(sum(n_points) as bigint)
+            FROM base GROUP BY cell >> 8
+            ORDER BY level, cell
         """,
         "q_h3_cells": f"""
             SELECT cell, n_points

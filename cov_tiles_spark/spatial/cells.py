@@ -101,3 +101,55 @@ def cell_h3r9(lon: pd.Series, lat: pd.Series) -> pd.Series:
 @F.pandas_udf(LongType())
 def cell_morton16(lon: pd.Series, lat: pd.Series) -> pd.Series:
     return pd.Series(morton_cell_np(lon.to_numpy(), lat.to_numpy()))
+
+
+def cell_stats_rollup(
+    df,
+    cell_col: str,
+    levels: list[int],
+    value_col: str | None = None,
+    finest_bits: int = S2_BITS,
+):
+    """Hierarchical per-cell aggregates (hypertable-style continuous
+    rollup): counts (+ optional value sums) at the finest level, coarser
+    levels derived from the AGGREGATE table — never from the raw rows.
+
+    Hilbert indexes are hierarchical (a parent's four children occupy
+    consecutive indices), so the parent cell at ``k`` levels up is
+    exactly ``cell >> 2k`` — each coarser level is one tiny shuffle over
+    pre-aggregated rows (|cells| of the level below, not |records|),
+    the same telescoping shape as the tile pyramid rollup. Returns
+    ``(level, cell, n_points[, sum_value])`` for every requested level
+    (``levels`` descending, starting at ``finest_bits``).
+    """
+    from pyspark.sql import functions as F
+
+    assert sorted(levels, reverse=True) == levels and levels[0] == finest_bits
+    aggs = [F.count("*").alias("n_points")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    level = (
+        df.groupBy(F.col(cell_col).alias("cell")).agg(*aggs)
+        .withColumn("level", F.lit(finest_bits))
+    )
+    out_cols = ["level", "cell", "n_points"] + (
+        ["sum_value"] if value_col is not None else []
+    )
+    out = [level.select(*out_cols)]
+    prev_bits = finest_bits
+    for bits in levels[1:]:
+        re_aggs = [F.sum("n_points").alias("n_points")]
+        if value_col is not None:
+            re_aggs.append(F.sum("sum_value").alias("sum_value"))
+        level = (
+            level.groupBy(
+                F.shiftright("cell", 2 * (prev_bits - bits)).alias("cell")
+            )
+            .agg(*re_aggs)
+            .withColumn("level", F.lit(bits))
+        )
+        out.append(level.select(*out_cols))
+        prev_bits = bits
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionAll(b), out)
