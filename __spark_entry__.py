@@ -766,6 +766,20 @@ def q_sessionize(spark, sf_dir):
 
 # ------------------------------------------------------- training-data ops
 
+def q_profile(spark, sf_dir):
+    """Dataset profiling (operators/profile.py): per-column n / nulls /
+    exact distinct / min / max over orders, in ONE wide aggregation
+    (multi-countDistinct plans as a single expand + exchange). The twin
+    computes the same stats column-by-column in SQL."""
+    from cov_tiles_spark.operators.profile import profile
+
+    o = _t(spark, sf_dir, "orders")
+    return profile(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    ).orderBy("column")
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup by md5(text) over documents + shifted copies (dedup #1)."""
     d = _t(spark, sf_dir, "documents")
@@ -1305,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_raster_cells": q_raster_cells,
         "q_sessionize": q_sessionize,
         "q_dedup_exact": q_dedup_exact,
+        "q_profile": q_profile,
         "q_token_counts": q_token_counts,
         "q_token_counts_bpe": q_token_counts_bpe,
         "q_lang_id": q_lang_id,
@@ -1641,6 +1656,41 @@ def oracle_sql() -> dict[str, str]:
                    cast(32 as bigint) AS w, cast(32 as bigint) AS h,
                    (event_id * 31 + 7) AS phash
             FROM a ORDER BY z, x, y, feature_id
+        """,
+        "q_profile": """
+            WITH s AS (
+              SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+                     cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) as bigint) AS n_null,
+                     cast(count(DISTINCT o_orderkey) as bigint) AS n_distinct,
+                     cast(min(o_orderkey) as varchar) AS min_val,
+                     cast(max(o_orderkey) as varchar) AS max_val
+              FROM orders
+              UNION ALL
+              SELECT 'o_custkey', count(*),
+                     cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) as bigint),
+                     cast(count(DISTINCT o_custkey) as bigint),
+                     cast(min(o_custkey) as varchar), cast(max(o_custkey) as varchar)
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus', count(*),
+                     cast(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) as bigint),
+                     cast(count(DISTINCT o_orderstatus) as bigint),
+                     min(o_orderstatus), max(o_orderstatus)
+              FROM orders
+              UNION ALL
+              SELECT 'o_totalprice', count(*),
+                     cast(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) as bigint),
+                     cast(count(DISTINCT o_totalprice) as bigint),
+                     printf('%.4f', round(min(o_totalprice), 4)),
+                     printf('%.4f', round(max(o_totalprice), 4))
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority', count(*),
+                     cast(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) as bigint),
+                     cast(count(DISTINCT o_orderpriority) as bigint),
+                     min(o_orderpriority), max(o_orderpriority)
+              FROM orders)
+            SELECT * FROM s ORDER BY "column"
         """,
         "q_dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
