@@ -68,8 +68,15 @@ def delta_materialize(
     partition_buckets: int | None = None,
 ) -> dict:
     """Encode new-or-changed tiles only; returns
-    ``{"changed": n, "unchanged": n, "total": n}`` (tile counts; with
-    bucketing, ``changed`` counts every re-encoded tile).
+    ``{"changed": n, "unchanged": n, "removed": n, "total": n}`` (tile
+    counts; with bucketing, ``changed`` counts every re-encoded tile;
+    ``removed`` counts tiles whose inputs vanished — tombstoned, or
+    dropped via their bucket's rewrite).
+
+    Change detection compares (input_checksum, n_rows) per tile — the
+    row count guards the bit_xor checksum's even-duplicate blind spot —
+    and a reverse anti-join finds tiles with no surviving input rows so
+    their stale payloads are removed from latest-wins reads.
 
     The previous run's input checksums live in the ``<table>_inputs``
     table (committed alongside the payloads, latest-wins); the current
@@ -95,28 +102,52 @@ def delta_materialize(
         prev_latest = lake.read_table(
             f"{table}_inputs", latest_only=True
         ).select(
-            "tile_key", F.col("input_checksum").alias("_prev_sum")
+            "tile_key",
+            F.col("input_checksum").alias("_prev_sum"),
+            F.col("n_rows").alias("_prev_n"),
         )
     except FileNotFoundError:  # first run: everything is new
         prev_latest = lake.spark.createDataFrame(
-            [], "tile_key string, _prev_sum long"
+            [], "tile_key string, _prev_sum long, _prev_n long"
         )
+    # n_rows is compared alongside the checksum: bit_xor cancels when an
+    # EVEN number of identical rows is added (x^x=0), so "same checksum"
+    # alone wrongly skips such edits; the row count breaks the tie.
     diff_keys = (
         cur.join(prev_latest, "tile_key", "left")
         .filter(
             F.col("_prev_sum").isNull()
             | (F.col("_prev_sum") != F.col("input_checksum"))
+            | (F.col("_prev_n") != F.col("n_rows"))
         )
         .select("tile_key")
     )
+    # tiles whose input rows ALL disappeared are absent from `cur`, so
+    # the forward join above never sees them; find them with the reverse
+    # anti-join and tombstone them (or fold their buckets into the
+    # rewrite) so latest-wins reads drop the stale payload.
+    vanished_keys = prev_latest.join(
+        cur, "tile_key", "left_anti"
+    ).select("tile_key").persist()
+    n_removed = vanished_keys.count()
     if partition_buckets is None:
         changed_keys = diff_keys.persist()
         part_of_tile = F.col("tile_key")
+        if n_removed:
+            # per-tile partitions: a vanished tile gets a manifest-only
+            # tombstone snapshot in BOTH tables (payloads so readers stop
+            # seeing it, inputs so a later resurrection with identical
+            # rows reads as new-not-unchanged and re-encodes)
+            lake.commit_tombstones(table, "tombstone", vanished_keys, "tile_key")
+            lake.commit_tombstones(
+                f"{table}_inputs", "tombstone", vanished_keys, "tile_key"
+            )
     else:
         # widen to whole buckets: a bucket's overwrite snapshot must
         # carry ALL its tiles or latest-wins reads would drop the
-        # unchanged ones
-        changed_buckets = diff_keys.select(
+        # unchanged ones. Vanished tiles fold their buckets in too — the
+        # rewritten bucket simply no longer contains them.
+        changed_buckets = diff_keys.union(vanished_keys).select(
             _bucket_of(F.col("tile_key"), partition_buckets).alias("_b")
         ).distinct()
         changed_keys = (
@@ -130,6 +161,21 @@ def delta_materialize(
             .persist()
         )
         part_of_tile = _bucket_of(F.col("tile_key"), partition_buckets)
+        if n_removed:
+            # a bucket whose CURRENT tile set is empty gets no overwrite
+            # snapshot from the rewrite below (nothing to write), so its
+            # stale rows would survive — tombstone those buckets directly
+            empty_buckets = changed_buckets.join(
+                cur.select(
+                    _bucket_of(F.col("tile_key"), partition_buckets).alias("_b")
+                ).distinct(),
+                "_b",
+                "left_anti",
+            )
+            lake.commit_tombstones(table, "tombstone", empty_buckets, "_b")
+            lake.commit_tombstones(
+                f"{table}_inputs", "tombstone", empty_buckets, "_b"
+            )
     n_changed = changed_keys.count()
 
     if n_changed:
@@ -164,8 +210,10 @@ def delta_materialize(
     assigned.unpersist()
     cur.unpersist()
     changed_keys.unpersist()
+    vanished_keys.unpersist()
     return {
         "changed": int(n_changed),
         "unchanged": int(total - n_changed),
+        "removed": int(n_removed),
         "total": int(total),
     }

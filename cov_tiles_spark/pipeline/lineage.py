@@ -139,6 +139,33 @@ class IcebergLite:
         # post-commit that join sees this very snapshot as done -> empty
         return self.manifests().filter(F.col("snapshot_id") == snapshot_id)
 
+    def commit_tombstones(
+        self, table: str, stage: str, keys: DataFrame,
+        partition_col: str = "partition_key",
+    ) -> DataFrame:
+        """Delete-by-partition: commit a manifest-only snapshot (no data
+        files) claiming each key in ``keys``. ``read_table(latest_only=
+        True)`` resolves the tombstone snapshot as the newest winner for
+        the key and finds zero data rows in it, so the partition
+        vanishes from latest reads; time travel before the tombstone
+        still sees the old rows (Iceberg's delete-manifest shape).
+        Returns the manifest rows written (empty if ``keys`` is)."""
+        if keys.isEmpty():
+            return self.spark.createDataFrame([], MANIFEST_SCHEMA)
+        snapshot_id = uuid.uuid4().hex[:16]
+        manifest = keys.select(
+            F.lit(table).alias("table"),
+            F.lit(snapshot_id).alias("snapshot_id"),
+            F.col(partition_col).cast("string").alias("partition_key"),
+            F.lit(0).cast("long").alias("n_rows"),
+            F.lit(0).cast("long").alias("n_bytes"),
+            F.lit(0).cast("long").alias("checksum"),
+            F.lit(time.time_ns()).alias("committed_at_ns"),
+            F.lit(stage).alias("stage"),
+        )
+        manifest.write.mode("append").parquet(self._manifest_dir)
+        return self.manifests().filter(F.col("snapshot_id") == snapshot_id)
+
     # ---------------- read path ----------------
 
     def read_table(

@@ -85,6 +85,65 @@ def test_delta_runs(spark, lake):
     assert old == _full(spark, v1)
 
 
+def _corpus_rows(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "image_id string, caption string, fmt string, w int, h int, "
+        "phash long, lon double, lat double",
+    )
+
+
+@pytest.mark.parametrize("buckets", [None, 16])
+def test_delta_removes_vanished_tiles(spark, lake, buckets):
+    """A tile whose input rows all disappear must drop out of the
+    latest-wins view (per-tile: tombstone snapshot; bucketed: bucket
+    rewrite / bucket tombstone), and time travel keeps the old payload."""
+    v1 = _corpus(spark)
+    delta_materialize(lake, v1, ZOOMS, partition_buckets=buckets)
+    t_v1 = lake.snapshots("tiles").collect()[0].committed_at_ns
+
+    # keep only a lone record in one corner of the world: every other
+    # tile's inputs vanish entirely
+    v2 = _corpus_rows(
+        spark, [("img00000", "cap0", "raw", 8, 8, 7, -170.0, -75.0)]
+    )
+    s2 = delta_materialize(lake, v2, ZOOMS, partition_buckets=buckets)
+    assert s2["removed"] > 0
+    assert _latest(lake) == _full(spark, v2)
+    # time travel before the deletion still shows v1
+    old = {
+        (r.z, r.x, r.y): bytes(r.payload)
+        for r in lake.read_table(
+            "tiles", as_of_ns=t_v1, latest_only=True
+        ).collect()
+    }
+    assert old == _full(spark, v1)
+
+    # resurrection: the same corpus returns — inputs were tombstoned,
+    # so the tiles read as NEW and re-encode (not wrongly "unchanged")
+    s3 = delta_materialize(lake, v1, ZOOMS, partition_buckets=buckets)
+    assert s3["removed"] == 0
+    assert _latest(lake) == _full(spark, v1)
+
+
+@pytest.mark.parametrize("buckets", [None, 16])
+def test_delta_detects_even_duplicate_edit(spark, lake, buckets):
+    """Adding an EVEN number of identical rows bit_xor-cancels to the
+    same input checksum; the n_rows comparison must still flag the
+    tile as changed."""
+    v1 = _corpus(spark)
+    delta_materialize(lake, v1, ZOOMS, partition_buckets=buckets)
+
+    dup = _corpus_rows(
+        spark,
+        [("img00000", "cap0", "raw", 8, 8, 7, -170.0, -75.0)] * 2,
+    )
+    v2 = v1.union(dup)
+    s2 = delta_materialize(lake, v2, ZOOMS, partition_buckets=buckets)
+    assert s2["changed"] > 0
+    assert _latest(lake) == _full(spark, v2)
+
+
 def test_delta_bucketed(spark, lake):
     """Bucket-granularity overwrite: fewer partitions, whole changed
     buckets re-encode, latest-wins view still equals full recompute."""
