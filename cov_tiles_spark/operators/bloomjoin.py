@@ -20,16 +20,17 @@ Portability: bit positions come from the engine-portable integer hash in
 against the broadcast bitmap (one numpy fancy-index per hash, per
 batch).
 
-Scale shape: the build side is hash-repartitioned to a bounded number of
-partitions, each emits one packed partial bitmap (num_bits/8 bytes), and
-the driver ORs those partials — collect volume is
-``merge_parallelism * num_bits/8`` regardless of build-side row count.
+Scale shape: the merge is a JVM ``bit_or`` aggregation over 64-bit words
+(map-side combined, whole-stage codegen); only NON-ZERO words reach the
+driver — ≤ min(num_bits/64, distinct set bits) rows of 16 bytes,
+independent of build-side row count — so the bitmap cap can sit far
+higher than a partial-bitmap collect would allow.
 """
 
 from __future__ import annotations
 
+import logging
 import math
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -38,13 +39,23 @@ from pyspark.sql import functions as F
 
 from cov_tiles_spark.operators.sampling import sample_hash
 
-_MAX_BITS = 1 << 28  # 32 MiB bitmap ceiling
+_LOG = logging.getLogger(__name__)
+
+_MAX_BITS = 1 << 30  # 128 MiB bitmap ceiling (word-merge keeps the
+# driver collect at <= num_bits/64 rows, so this is broadcast-bound,
+# not collect-bound)
 
 
 def _positions(key: F.Column, num_bits: int, num_hashes: int) -> list[F.Column]:
-    """k engine-portable bit positions for a bigint key."""
+    """k engine-portable bit positions for a bigint key — taken from the
+    TOP bits of ``sample_hash`` (its final step is a multiply mod 2^31,
+    which leaves the LOW bits poorly mixed: ``% num_bits`` measured ~2x
+    the theoretical false-positive rate; same reason
+    ``operators/sketch.py`` derives HLL registers from the top bits)."""
+    shift = 31 - (int(num_bits).bit_length() - 1)  # num_bits = 2^b
     return [
-        sample_hash(key, seed=1_000 + i) % num_bits for i in range(num_hashes)
+        F.shiftright(sample_hash(key, seed=1_000 + i), shift)
+        for i in range(num_hashes)
     ]
 
 
@@ -55,35 +66,38 @@ def build_bloom(
     num_hashes: int,
     merge_parallelism: int = 64,
 ) -> bytes:
-    """Packed little-endian bitmap with every key's k bits set."""
+    """Packed little-endian bitmap with every key's k bits set.
+
+    ``num_bits`` must be a power of two (>= 2^14 as sized by
+    ``bloom_semi_join``). The OR-merge happens in the JVM: positions
+    group into 64-bit words (``p >> 6``) and ``bit_or`` their lane
+    masks; the driver only scatters the non-zero words into the final
+    bitmap. ``merge_parallelism`` bounds the word shuffle's partition
+    count (the aggregation is map-side combined either way)."""
     pos = df.select(
         F.explode(
             F.array(*_positions(F.col(key_col), num_bits, num_hashes))
         ).alias("p")
     )
-    n_bytes = (num_bits + 7) // 8
-
-    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bits = np.zeros(n_bytes, dtype=np.uint8)
-        seen = False
-        for pdf in batches:
-            p = pdf["p"].to_numpy(np.int64)
-            seen = True
-            # bincount over byte index then threshold would lose the
-            # per-bit lane; set bits via |= on the unique positions
-            np.bitwise_or.at(bits, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8))
-        if seen:
-            yield pd.DataFrame({"bitmap": [bits.tobytes()]})
-
-    parts = (
-        pos.repartition(merge_parallelism, "p")
-        .mapInPandas(partial, schema="bitmap binary")
+    words = (
+        pos.repartition(merge_parallelism, F.shiftright("p", 6))
+        .groupBy(F.shiftright("p", 6).alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(cast(1 as bigint), cast(p % 64 as int)))"
+            ).alias("m")
+        )
         .collect()
     )
-    out = np.zeros(n_bytes, dtype=np.uint8)
-    for row in parts:
-        out |= np.frombuffer(row["bitmap"], dtype=np.uint8)
-    return out.tobytes()
+    out = np.zeros(num_bits // 64, dtype="<i8")
+    if words:
+        idx = np.fromiter((r["w"] for r in words), dtype=np.int64, count=len(words))
+        out[idx] = np.fromiter(
+            (r["m"] for r in words), dtype=np.int64, count=len(words)
+        )
+    # little-endian int64 words viewed as bytes put bit p at byte p>>3,
+    # lane p&7 — exactly what the membership gather indexes
+    return out.view(np.uint8).tobytes()
 
 
 def bloom_filter_rows(
@@ -130,10 +144,21 @@ def bloom_semi_join(
     so the output is exactly the plain semi-join's.
     """
     n = small.select(key).distinct().count()
-    num_bits = 1 << max(14, math.ceil(math.log2(max(n, 1) * bits_per_key)))
-    num_bits = min(num_bits, _MAX_BITS)
+    want_bits = 1 << max(14, math.ceil(math.log2(max(n, 1) * bits_per_key)))
+    num_bits = min(want_bits, _MAX_BITS)
     if num_hashes is None:
         num_hashes = max(1, min(8, round(0.693 * num_bits / max(n, 1))))
+    if want_bits > num_bits:
+        # the cap binds: the filter stays EXACT (the trailing semi-join
+        # is unconditional) but pruning quietly degrades as fpp rises —
+        # surface the effective rate so operators see it in the logs
+        eff_fpp = (1.0 - math.exp(-num_hashes * n / num_bits)) ** num_hashes
+        _LOG.warning(
+            "bloom_semi_join: bitmap capped at %d bits (wanted %d for "
+            "%d keys at %d bits/key); effective false-positive rate "
+            "~%.4f — pruning degrades toward a no-op as this nears 1",
+            num_bits, want_bits, n, bits_per_key, eff_fpp,
+        )
     bloom = build_bloom(
         small, key, num_bits, num_hashes, merge_parallelism=merge_parallelism
     )

@@ -56,3 +56,42 @@ def test_bloom_negative_keys(spark):
     )
     got = sorted(r["k"] for r in bloom_semi_join(big, small, "k").collect())
     assert got == [-1_000_000, -5, 3]
+
+
+def test_bloom_fpp_near_theoretical(spark):
+    """Top-bits positions: measured false-positive rate must sit near
+    the theoretical (1-e^{-kn/m})^k — the low-bits variant measured ~2x
+    it (ADVICE r2), which this pins against regression."""
+    n, m, k = 20_000, 1 << 18, 7
+    small = spark.createDataFrame([(int(i),) for i in range(n)], "k long")
+    bloom = build_bloom(small, "k", num_bits=m, num_hashes=k)
+    probes = spark.createDataFrame(
+        [(int(i),) for i in range(n, n + 50_000)], "k long"
+    )
+    fp = bloom_filter_rows(probes, "k", bloom, num_bits=m, num_hashes=k).count()
+    import math
+
+    theo = (1.0 - math.exp(-k * n / m)) ** k
+    assert fp / 50_000 < 1.5 * theo, (fp / 50_000, theo)
+
+
+def test_bloom_cap_binding_logs_fpp_and_stays_exact(spark, caplog, monkeypatch):
+    """When _MAX_BITS binds, the effective fpp is logged and the join
+    output is still exactly the plain semi-join."""
+    import cov_tiles_spark.operators.bloomjoin as bj
+
+    monkeypatch.setattr(bj, "_MAX_BITS", 1 << 14)
+    rng = np.random.default_rng(11)
+    big = spark.createDataFrame(
+        [(int(x),) for x in rng.integers(0, 100_000, 30_000)], "k long"
+    )
+    small = spark.createDataFrame(
+        [(int(x),) for x in rng.choice(100_000, 8_000, replace=False)],
+        "k long",
+    )
+    with caplog.at_level("WARNING", logger="cov_tiles_spark.operators.bloomjoin"):
+        got = sorted(r["k"] for r in bj.bloom_semi_join(big, small, "k").collect())
+    assert any("capped" in r.message and "false-positive" in r.message
+               for r in caplog.records)
+    want = sorted(r["k"] for r in big.join(small, "k", "left_semi").collect())
+    assert got == want
