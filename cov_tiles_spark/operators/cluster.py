@@ -88,6 +88,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Label every node in the pair graph with its component minimum.
 
@@ -100,15 +101,36 @@ def connected_components(
     in O(log n) rounds (~10 rounds covers 2^10-node components of any
     shape); hitting the rail raises rather than returning a partial
     clustering.
+
+    ``checkpoint`` picks how iterative lineage is truncated:
+    ``"local"`` (default) uses ``localCheckpoint`` — executor block
+    storage, no configured checkpoint dir needed, but NON-reliable:
+    losing an executor mid-job makes its blocks unrecoverable and fails
+    the job (acceptable for short local runs; rerun-from-scratch is the
+    recovery). ``"reliable"`` uses ``DataFrame.checkpoint`` against the
+    cluster's fault-tolerant checkpoint dir
+    (``spark.sparkContext.setCheckpointDir`` must be called first) —
+    the right mode for long-running 100 TB jobs where executor loss is
+    expected, at the price of one distributed write per round.
     """
-    edges = _canon(
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    ).localCheckpoint(eager=True)
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(f"unknown checkpoint mode {checkpoint!r}")
+    if checkpoint == "reliable" and pairs.sparkSession.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            "checkpoint='reliable' needs spark.sparkContext.setCheckpointDir(...)"
+        )
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint == "reliable":
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    edges = _truncate(
+        _canon(pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    )
     fp = _edge_fingerprint(edges)
     for it in range(max_iter):
-        edges = _canon(_small_star(_large_star(edges))).localCheckpoint(
-            eager=True
-        )
+        edges = _truncate(_canon(_small_star(_large_star(edges))))
         new_fp = _edge_fingerprint(edges)
         if new_fp == fp:
             logger.info("connected_components: converged after %d rounds", it + 1)

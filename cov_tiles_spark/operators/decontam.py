@@ -27,18 +27,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-_FNV = np.uint64(1099511628211)
-_OFF = np.uint64(14695981039346656037)
 _P = np.uint64(1000000007)
 
 
 def _word_hashes(text: str) -> np.ndarray:
-    """FNV-1a per lowercased whitespace token."""
+    """FNV-1a per lowercased whitespace token.
+
+    Plain Python ints mod 2^64, converted to uint64 ONCE at the end:
+    a np.uint64-scalar inner loop both emits an overflow RuntimeWarning
+    per multiply (fatal under ``-W error``) and pays numpy's per-call
+    scalar setup per byte — the per-item-numpy antipattern (CLAUDE.md);
+    the values are bit-identical either way (wrap-around mod 2^64)."""
+    fnv, off, mask = 1099511628211, 14695981039346656037, (1 << 64) - 1
     out = []
     for w in text.lower().split():
-        h = _OFF
+        h = off
         for b in w.encode("utf-8"):
-            h = (h ^ np.uint64(b)) * _FNV
+            h = ((h ^ b) * fnv) & mask
         out.append(h)
     return np.array(out, dtype=np.uint64)
 

@@ -15,9 +15,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float",
-            "decimal", "long"}
-
 
 def _fmt(col: F.Column, dtype: str) -> F.Column:
     if dtype in ("double", "float"):
@@ -27,21 +24,39 @@ def _fmt(col: F.Column, dtype: str) -> F.Column:
     return col.cast("string")
 
 
-def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
     """(column, n_rows, n_null, n_distinct, min_val, max_val) per column.
 
     ``min_val``/``max_val`` are the column's own ordering rendered as
     strings (numerics formatted to 4 dp so cross-engine float printing
-    can't differ)."""
+    can't differ).
+
+    ``approx=True`` swaps exact ``countDistinct`` for HLL++
+    ``approx_count_distinct(rsd)`` — the 100 TB ANALYZE path: exact
+    distincts are the one term that forces a per-column expand carrying
+    full distinct state through the exchange, while the sketch keeps
+    the whole pass a single map-side-combinable aggregation (fixed
+    bytes per column per partition). Default stays exact (ANALYZE
+    semantics; driver-gate comparable)."""
     dtypes = dict(df.dtypes)
     cols = columns or list(df.columns)
     aggs = []
     for c in cols:
         base = dtypes[c].split("(")[0]
+        nd = (
+            F.approx_count_distinct(c, rsd)
+            if approx
+            else F.countDistinct(c)
+        )
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
+            nd.alias(f"{c}__distinct"),
             _fmt(F.min(c), base).alias(f"{c}__min"),
             _fmt(F.max(c), base).alias(f"{c}__max"),
         ]

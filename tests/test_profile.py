@@ -25,3 +25,19 @@ def test_profile_column_subset(spark):
     df = spark.createDataFrame([(1, "x")], "a long, b string")
     out = profile(df, ["b"]).collect()
     assert len(out) == 1 and out[0].column == "b"
+
+
+def test_profile_approx_within_rsd(spark):
+    """approx=True swaps exact distincts for HLL++; estimates must land
+    within a loose multiple of the requested rsd, everything else stays
+    exact."""
+    df = spark.range(0, 20_000).selectExpr(
+        "id", "cast(id % 997 as string) as s", "cast(id % 37 as double) as v"
+    )
+    rows = {r.column: r for r in profile(df, approx=True, rsd=0.05).collect()}
+    assert rows["id"].n_rows == 20_000 and rows["id"].n_null == 0
+    for col, exact in (("id", 20_000), ("s", 997), ("v", 37)):
+        est = rows[col].n_distinct
+        assert abs(est - exact) <= max(3, 0.15 * exact), (col, est, exact)
+    # min/max/null are unaffected by the sketch path
+    assert (rows["v"].min_val, rows["v"].max_val) == ("0.0000", "36.0000")
