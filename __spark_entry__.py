@@ -547,7 +547,29 @@ def q_knn(spark, sf_dir):
     out_cols = ["query_id", "rank", F.col("event_id").alias("point_id")]
     good = near.join(satisfied, "query_id", "left_semi").select(*out_cols)
     rest_q = q.join(satisfied, "query_id", "left_anti")
-    fallback = topk(pts.join(F.broadcast(rest_q))).select(*out_cols)
+    # fallback reuses the module's per-partition top-k reduction: a bare
+    # Window.partitionBy("query_id") here would funnel |points| rows per
+    # unsatisfied query into one task (the last un-reduced global window
+    # flagged in round 2); after _local_topk the window fans in at most
+    # partitions x k rows per query. Same total order (dist, id) => exact.
+    from cov_tiles_spark.spatial.knn import _local_topk
+
+    fb_pairs = (
+        pts.join(F.broadcast(rest_q))
+        .withColumn("dist_m", d2)
+        .select("query_id", F.col("event_id").alias("point_id"), "dist_m")
+    )
+    fallback = (
+        _local_topk(fb_pairs, k_max=k, has_qk=False)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("dist_m", "point_id")
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "point_id")
+    )
     # select per branch: joins reorder columns and unionAll is positional
     return good.unionAll(fallback)
 
@@ -778,6 +800,40 @@ def q_profile(spark, sf_dir):
         o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderpriority"]
     ).orderBy("column")
+
+
+def q_profile_approx(spark, sf_dir):
+    """Approx profiling (``profile(approx=True)``) — the 100 TB ANALYZE
+    path where exact countDistinct's per-column expand is the one heavy
+    term. HLL++ estimates are engine-specific, so the gate encodes an
+    ERROR-BOUND assertion instead of value equality: ``within_bound`` is
+    computed Spark-side as |approx - exact| <= 25% (5x the requested
+    rsd=0.05) against an exact countDistinct over the same column, and
+    the DuckDB twin asserts literal TRUE; n_rows/n_null stay
+    exact-matched. A drifting estimator fails the hash match."""
+    from cov_tiles_spark.operators.profile import profile
+
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    ap = profile(o, cols, approx=True, rsd=0.05).select(
+        "column", "n_rows", "n_null", F.col("n_distinct").alias("_approx")
+    )
+    ex = profile(o, cols).select(
+        F.col("column").alias("_c"), F.col("n_distinct").alias("_exact")
+    )
+    return (
+        ap.join(ex, ap["column"] == ex["_c"])
+        .select(
+            "column",
+            "n_rows",
+            "n_null",
+            (
+                F.abs(F.col("_approx") - F.col("_exact"))
+                <= F.lit(0.25) * F.col("_exact")
+            ).alias("within_bound"),
+        )
+        .orderBy("column")
+    )
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -1320,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_dedup_exact": q_dedup_exact,
         "q_profile": q_profile,
+        "q_profile_approx": q_profile_approx,
         "q_token_counts": q_token_counts,
         "q_token_counts_bpe": q_token_counts_bpe,
         "q_lang_id": q_lang_id,
@@ -1689,6 +1746,24 @@ def oracle_sql() -> dict[str, str]:
                      cast(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) as bigint),
                      cast(count(DISTINCT o_orderpriority) as bigint),
                      min(o_orderpriority), max(o_orderpriority)
+              FROM orders)
+            SELECT * FROM s ORDER BY "column"
+        """,
+        "q_profile_approx": """
+            WITH s AS (
+              SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+                     cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) as bigint) AS n_null,
+                     TRUE AS within_bound
+              FROM orders
+              UNION ALL
+              SELECT 'o_custkey', count(*),
+                     cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) as bigint),
+                     TRUE
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus', count(*),
+                     cast(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) as bigint),
+                     TRUE
               FROM orders)
             SELECT * FROM s ORDER BY "column"
         """,

@@ -62,15 +62,13 @@ def pq_train(
 
     Returns ``(m, 2^nbits, dim//m)`` float64. Like the IVF quantizer,
     the codebooks are tiny and a representative sample suffices — the
-    corpus is never collected."""
+    corpus is never collected (map-only hash-filter sample via
+    ``similarity.train_sample_rows``, no full-corpus TakeOrdered)."""
+    from cov_tiles_spark.operators.similarity import train_sample_rows
+
     assert dim % m == 0, "dim must divide evenly into m subspaces"
     sub = dim // m
-    rows = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .orderBy("id")
-        .limit(sample_n)
-        .collect()
-    )
+    rows = train_sample_rows(df, id_col, vec_col, sample_n)
     x = np.stack([np.asarray(r.vec, dtype=np.float64) for r in rows])
     k = 1 << nbits
     return np.stack(

@@ -105,6 +105,34 @@ def cosine_topk_many(
     )
 
 
+def train_sample_rows(
+    df: DataFrame, id_col: str, vec_col: str, sample_n: int
+) -> list:
+    """Bounded deterministic training sample WITHOUT a full-corpus
+    TakeOrdered pass.
+
+    ``orderBy(id).limit(n)`` compiles to TakeOrderedAndProject — no
+    shuffle, but every partition still runs the sort-compare over all
+    its rows. This instead applies the map-only portable hash filter
+    (``operators/sampling.py``) at a rate targeting ~3x ``sample_n``
+    survivors, then sort-truncates the small survivor set driver-side
+    by (hash, id) to <= ``sample_n`` rows. Deterministic under any
+    partitioning (the hash is a pure key function); one metadata-cheap
+    count plus one filter scan."""
+    from cov_tiles_spark.operators.sampling import sample_hash, threshold
+
+    h = sample_hash(F.xxhash64(F.col(id_col)), seed=7)
+    cand = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), h.alias("_h")
+    )
+    n = df.count()
+    if n > 3 * sample_n:
+        cand = cand.filter(F.col("_h") < F.lit(threshold(3.0 * sample_n / n)))
+    rows = cand.collect()
+    rows.sort(key=lambda r: (r["_h"], r["id"]))
+    return rows[:sample_n]
+
+
 def ivf_train_centroids(
     df: DataFrame,
     vec_col: str,
@@ -120,18 +148,14 @@ def ivf_train_centroids(
     The quantizer is tiny (``n_centroids x dim`` floats) and training
     needs only a representative sample, so the standard IVF recipe is a
     driver-side fit on ``<= sample_n`` rows — the full corpus is never
-    collected (at 10^12 rows the sample is one cheap ``limit`` over a
-    sorted scan). Deterministic: sample = first ``sample_n`` ids,
-    init = evenly spaced sample rows, Lloyd iterations with empty
-    clusters keeping their previous centroid. Returns unit-norm
-    centroids ``(n_centroids, dim)`` float64.
+    collected (sample via the map-only hash filter of
+    :func:`train_sample_rows`; no full-corpus sort-compare).
+    Deterministic: hash-ordered sample, init = farthest-point greedy,
+    Lloyd iterations with empty clusters keeping their previous
+    centroid. Returns unit-norm centroids ``(n_centroids, dim)``
+    float64.
     """
-    rows = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .orderBy("id")
-        .limit(sample_n)
-        .collect()
-    )
+    rows = train_sample_rows(df, id_col, vec_col, sample_n)
     m = np.stack([np.asarray(r.vec, dtype=np.float64) for r in rows])
     norms = np.linalg.norm(m, axis=1)
     m = m[norms > 0] / norms[norms > 0, None]
