@@ -9,10 +9,12 @@ tiles — so this module mirrors that role: faithful-in-spirit
 implementations of both formats' core modes, each round-trip verified by
 `scripts/codec_eval.py` and `tests/test_codec_kernels.py`.
 
-- ``orc_rle_v2``: the SHORT_REPEAT / DIRECT / DELTA sub-encodings of the
-  ORC v2 spec (PATCHED_BASE omitted — ORC itself only emits it for
-  outlier-heavy runs; DIRECT subsumes it at a size cost). Runs are
-  chunked at 512 values like ORC.
+- ``orc_rle_v2``: all four sub-encodings of the ORC v2 spec —
+  SHORT_REPEAT / DIRECT / DELTA / PATCHED_BASE (the outlier mode: bulk
+  values bit-packed at the 90th-percentile width over a common base,
+  outliers stitched back from a patch list; chosen per chunk only when
+  it beats DIRECT, mirroring ORC's writer policy). Runs are chunked at
+  512 values like ORC.
 - ``parquet_delta``: DELTA_BINARY_PACKED layout — block 128, 4 miniblocks
   of 32, per-block min-delta frame of reference, per-miniblock bit
   widths, LSB-first packing.
@@ -69,13 +71,52 @@ def _width(u: np.ndarray) -> int:
 # ------------------------------------------------------------- ORC RLE v2
 
 # chunk headers (1 byte): tag << 6 | payload
-_SHORT_REPEAT, _DIRECT, _DELTA = 0, 1, 3
+_SHORT_REPEAT, _DIRECT, _PATCHED_BASE, _DELTA = 0, 1, 2, 3
+
+
+def _try_patched_base(u: np.ndarray, budget: int) -> bytes | None:
+    """PATCHED_BASE chunk if it beats the DIRECT encoding of the same
+    values (``budget`` bytes), else None.
+
+    Layout: header, varints (n, base, width, n_patches), low bits of
+    (value - base) packed at the 90th-percentile width, then the patch
+    list (ascending indices, then the shifted-out high bits) — ORC's
+    base + packed-bulk + patch-exception shape
+    (`IntegerCompressionEvaluation.java:68-105` sweeps the real writer;
+    the container here is this module's own, like the other chunks)."""
+    n = len(u)
+    if n < 8:
+        return None
+    base = np.uint64(u.min())
+    rel = u - base
+    w_full = _width(rel)
+    w90 = _width(np.sort(rel)[: -max(1, n // 10)])
+    if w90 >= w_full:
+        return None
+    mask = rel >= np.uint64(1 << w90)
+    n_out = int(mask.sum())
+    if n_out == 0 or n_out > n // 10:
+        return None
+    idx = np.flatnonzero(mask).astype(np.uint64)
+    high = rel[mask] >> np.uint64(w90)
+    body = b"".join(
+        [
+            bytes([_PATCHED_BASE << 6]),
+            encode_varints(np.array([n, int(base), w90, n_out], np.uint64)),
+            _pack_bits(rel & np.uint64((1 << w90) - 1), w90),
+            encode_varints(idx),
+            encode_varints(high),
+        ]
+    )
+    return body if len(body) < budget else None
 
 
 def orc_rle_v2_encode(values: np.ndarray, signed: bool = False) -> bytes:
-    """SHORT_REPEAT / DIRECT / DELTA chunks, greedy like ORC's writer:
-    repeats >= 3 -> SHORT_REPEAT (or DELTA(0) when long), monotone
-    constant-difference spans -> DELTA, else DIRECT."""
+    """SHORT_REPEAT / DIRECT / PATCHED_BASE / DELTA chunks, greedy like
+    ORC's writer: repeats >= 3 -> SHORT_REPEAT (or DELTA(0) when long),
+    monotone constant-difference spans -> DELTA, else DIRECT — swapped
+    for PATCHED_BASE when <=10% outliers inflate the direct width and
+    the patched form is smaller."""
     v = np.asarray(values, dtype=np.int64)
     parts: list[bytes] = []
     i, n = 0, len(v)
@@ -118,9 +159,14 @@ def orc_rle_v2_encode(values: np.ndarray, signed: bool = False) -> bytes:
         lits = chunk[:j]
         u = _u64(lits, signed)
         w = _width(u)
-        parts.append(bytes([(_DIRECT << 6) | 0]))
-        parts.append(encode_varints(np.array([len(lits), w], np.uint64)))
-        parts.append(_pack_bits(u, w))
+        direct = b"".join(
+            [
+                bytes([(_DIRECT << 6) | 0]),
+                encode_varints(np.array([len(lits), w], np.uint64)),
+                _pack_bits(u, w),
+            ]
+        )
+        parts.append(_try_patched_base(u, len(direct)) or direct)
         i += j
     return b"".join(parts)
 
@@ -152,6 +198,25 @@ def orc_rle_v2_decode(
             ln, offset = _decode_one(buf, offset)
             w, offset = _decode_one(buf, offset)
             u, offset = _unpack_bits(buf, offset, ln, w)
+            out[count : count + ln] = (
+                zigzag_decode(u) if signed else u.astype(np.int64)
+            )
+            count += ln
+        elif tag == _PATCHED_BASE:
+            ln, offset = _decode_one(buf, offset)
+            base, offset = _decode_one(buf, offset)
+            w, offset = _decode_one(buf, offset)
+            n_out, offset = _decode_one(buf, offset)
+            u, offset = _unpack_bits(buf, offset, ln, w)
+            # patch lists are tiny (<= ln/10): scalar varint walk, per
+            # the repo's numpy-per-item threshold note (CLAUDE.md)
+            idx = np.empty(n_out, dtype=np.int64)
+            for t in range(n_out):
+                idx[t], offset = _decode_one(buf, offset)
+            for t in range(n_out):
+                hi, offset = _decode_one(buf, offset)
+                u[idx[t]] |= np.uint64(hi) << np.uint64(w)
+            u = u + np.uint64(base)
             out[count : count + ln] = (
                 zigzag_decode(u) if signed else u.astype(np.int64)
             )

@@ -262,6 +262,30 @@ class TestEvalCodecs:
                 assert off == len(enc), (name, signed)
                 np.testing.assert_array_equal(dec, v, err_msg=name)
 
+    def test_orc_rle_v2_patched_base(self):
+        """Outlier-heavy stream: PATCHED_BASE must engage (beating the
+        25-bit DIRECT packing by >2x) and round-trip exactly, both
+        signed and unsigned."""
+        from cov_tiles_spark.covt.eval_codecs import (
+            _try_patched_base,
+            orc_rle_v2_decode,
+            orc_rle_v2_encode,
+        )
+
+        rng = np.random.default_rng(5)
+        v = rng.integers(3, 100, 500).astype(np.int64)
+        v[::37] = 1 << 24  # ~2.7% outliers inflate the direct width to 25
+        assert _try_patched_base(v.astype(np.uint64), 10**9) is not None
+        direct_floor = len(v) * 25 // 8  # what DIRECT-only would pay
+        for signed in (False, True):
+            enc = orc_rle_v2_encode(v, signed=signed)
+            assert len(enc) < direct_floor / 2, (signed, len(enc))
+            dec, off = orc_rle_v2_decode(
+                np.frombuffer(enc, np.uint8), len(v), signed=signed
+            )
+            assert off == len(enc)
+            np.testing.assert_array_equal(dec, v)
+
     def test_parquet_delta_roundtrip(self):
         from cov_tiles_spark.covt.eval_codecs import (
             parquet_delta_decode,
