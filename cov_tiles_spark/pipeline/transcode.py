@@ -220,15 +220,41 @@ def _genb_inputs(mvt_bytes: bytes) -> tuple[list[LayerInput], int]:
     return inputs, n_features
 
 
-def mvt_to_genb(mvt_bytes: bytes) -> tuple[bytes, dict, int, int]:
+def mvt_to_genb(
+    mvt_bytes: bytes, reorder: bool = False
+) -> tuple[bytes, dict, int, int]:
     """One tile: MVT bytes -> (gen-B COVT bytes, TileJSON dict, n_layers,
     n_features). ``name:*`` groups use the format-reserved
     LOCALIZED_DICTIONARY column type (shared dictionary across locales —
     our documented extension; the reference converter throws on it,
-    CovtConverter.java:358-360)."""
+    CovtConverter.java:358-360).
+
+    ``reorder=True`` additionally argmins each layer's feature order
+    over {source, SFC/greedy-chain, id-sort} by encoded size
+    (README.md:210-221 levers + the converter's id sort) — never worse
+    than source order, ~3x encode cost, so it is the offline/parity
+    option, not the hot default. Reordered tiles verify as feature
+    multisets (``_features_match(any_order=True)``)."""
     from cov_tiles_spark.covt.genb import encode_tile_genb
 
     inputs, n_features = _genb_inputs(mvt_bytes)
+    if reorder:
+        from cov_tiles_spark.covt.order import candidate_perms, permute_layer
+
+        def _sz(lay) -> int:
+            return len(
+                encode_tile_genb(
+                    [lay], optimize_metadata=True, geometry_encoding="best"
+                )[0]
+            )
+
+        inputs = [
+            min(
+                [lay] + [permute_layer(lay, p) for _, p in candidate_perms(lay)],
+                key=_sz,
+            )
+            for lay in inputs
+        ]
     payload, tilejson = encode_tile_genb(
         inputs, optimize_metadata=True, geometry_encoding="best"
     )
@@ -262,18 +288,22 @@ def mvts_to_genb_tileset(
 
 
 def verify_genb_roundtrip(
-    payload: bytes, tilejson: dict, mvt_layers: list[MvtLayer]
+    payload: bytes, tilejson: dict, mvt_layers: list[MvtLayer],
+    any_order: bool = False,
 ) -> bool:
     """Gen-B round-trip oracle: decode our gen-B tile and compare
     feature-for-feature with the MVT decode (same rule as
-    ``verify_roundtrip``)."""
+    ``verify_roundtrip``). ``any_order=True`` compares feature
+    multisets — required when the encoder reordered features (the
+    reference's own spec re-sorts id-sorted layers the same way,
+    covtDecoder.spec.ts:105-108)."""
     from cov_tiles_spark.covt.genb import decode_tile_genb
 
     try:
         decoded = decode_tile_genb(payload, tilejson)
     except Exception:
         return False
-    return _features_match(decoded, mvt_layers)
+    return _features_match(decoded, mvt_layers, any_order=any_order)
 
 
 def verify_roundtrip(covt_bytes: bytes, mvt_layers: list[MvtLayer]) -> bool:
@@ -337,7 +367,28 @@ def covt_to_mvt(
     return encode_mvt(layers)
 
 
-def _features_match(decoded, mvt_layers: list[MvtLayer]) -> bool:
+def _canon_key(geom, props, fid):
+    """Order-insensitive feature key: id + geometry + sorted non-float
+    non-null properties. Floats are excluded (float32 round-trips shift
+    low digits, which would misalign the sort; they are still checked
+    pairwise after alignment) and values are normalized through str()
+    so numpy scalars key identically to Python ones."""
+    gk = tuple(
+        tuple((float(x), float(y)) for x, y in part) for part in geom
+    )
+    pk = tuple(
+        sorted(
+            (k, str(v))
+            for k, v in props.items()
+            if v is not None and not isinstance(v, (float, np.floating))
+        )
+    )
+    return (fid is None, int(fid or 0), gk, pk)
+
+
+def _features_match(
+    decoded, mvt_layers: list[MvtLayer], any_order: bool = False
+) -> bool:
     mvt_map = {l.name: l for l in mvt_layers if l.features}
     if set(decoded) != set(mvt_map):
         return False
@@ -346,6 +397,18 @@ def _features_match(decoded, mvt_layers: list[MvtLayer]) -> bool:
         src = mvt_map[name].features
         if len(feats) != len(src):
             return False
+        if any_order:
+            # multiset compare under a canonical sort: the per-index
+            # checks below then run pairwise on aligned features
+            feats = sorted(
+                feats,
+                key=lambda a: _canon_key(
+                    a["geometry"], a["properties"], a.get("id")
+                ),
+            )
+            src = sorted(
+                src, key=lambda b: _canon_key(b.geometry, b.properties, b.id)
+            )
         for a, b in zip(feats, src):
             if a["geometry"] != b.geometry:
                 return False
@@ -361,7 +424,9 @@ def _features_match(decoded, mvt_layers: list[MvtLayer]) -> bool:
     return True
 
 
-def _transcode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _transcode_batches(
+    batches: Iterator[pd.DataFrame], reorder_genb: bool = False
+) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
         for _, row in pdf.iterrows():
@@ -373,8 +438,10 @@ def _transcode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             covt, n_layers, n_features = mvt_to_covt(raw)
             mvt_layers = decode_mvt(raw)
             ok = verify_roundtrip(covt, mvt_layers)
-            genb, tilejson, _, _ = mvt_to_genb(raw)
-            genb_ok = verify_genb_roundtrip(genb, tilejson, mvt_layers)
+            genb, tilejson, _, _ = mvt_to_genb(raw, reorder=reorder_genb)
+            genb_ok = verify_genb_roundtrip(
+                genb, tilejson, mvt_layers, any_order=reorder_genb
+            )
             rows.append(
                 {
                     "path": os.path.basename(row["path"]),
@@ -396,15 +463,25 @@ def _transcode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         )
 
 
-def transcode_mvt_directory(spark: SparkSession, glob_path: str) -> DataFrame:
-    """Transcode every .mvt/.pbf under ``glob_path`` to COVT, verified."""
+def transcode_mvt_directory(
+    spark: SparkSession, glob_path: str, reorder_genb: bool = False
+) -> DataFrame:
+    """Transcode every .mvt/.pbf under ``glob_path`` to COVT, verified.
+
+    ``reorder_genb=True`` turns on the per-layer feature-order argmin
+    for the gen-B encode (see :func:`mvt_to_genb`) — the offline/parity
+    setting (~3x encode cost, never larger output)."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.{mvt,pbf}")
         .load(glob_path)
         .select("path", "content")
     )
-    return files.mapInPandas(_transcode_batches, schema=TRANSCODE_SCHEMA)
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from _transcode_batches(batches, reorder_genb=reorder_genb)
+
+    return files.mapInPandas(_batches, schema=TRANSCODE_SCHEMA)
 
 
 EXPORT_SCHEMA = (
