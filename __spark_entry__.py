@@ -1407,8 +1407,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _LON_E = _LON_SQL.format(k="event_id")
 _LAT_E = _LAT_SQL.format(k="event_id")
 # committed independent-oracle parquet (scripts/build_oracles.py), pinned
-# to the driver gate's sf0.01 data
-_ORACLE_DIR = os.path.join(
+# to the driver gate's sf0.01 data; COV_ORACLE_DIR overrides for runs at
+# other scales (scripts/check_oracles.py sets it when oracles/<sf>
+# exists — used by the committed CORRECTNESS_SF01 sf0.1 run)
+_ORACLE_DIR = os.environ.get("COV_ORACLE_DIR") or os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "oracles", "sf0.01"
 )
 _MX_E = _MX_SQL.format(lon=_LON_E)

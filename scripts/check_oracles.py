@@ -19,8 +19,6 @@ import time
 import duckdb
 import pandas as pd
 
-import __spark_entry__ as entrymod
-
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -47,6 +45,16 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+
+    # point the committed-parquet oracles at this scale factor's build
+    # (scripts/build_oracles.py <sf_dir>) BEFORE the entry module reads
+    # the env at import
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    cand = os.path.join(repo, "oracles", sf_name)
+    if os.path.isdir(cand):
+        os.environ["COV_ORACLE_DIR"] = cand
+    import __spark_entry__ as entrymod
 
     from cov_tiles_spark.session import get_spark
 
