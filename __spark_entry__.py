@@ -1038,8 +1038,13 @@ def q_pq_rerank(spark, sf_dir):
     qvec = [float(v) for v in
             emb.filter(F.col("vec_id") == 2).select("embedding").collect()[0][0]]
     cb = pq_train(emb, "embedding", "vec_id", dim=64, m=8, nbits=4)
+    # candidate k = |corpus|: a fixed shortlist (500) silently loses
+    # exactness as the corpus scales (5 of the true top-10 dropped at
+    # sf0.1) — the gate's contract is the provably-exact all-candidate
+    # setting at ANY sf; partial-shortlist recall is a data property,
+    # pytest-covered on clustered corpora
     cand = pq_topk(
-        pq_encode(emb, "embedding", cb), "vec_id", qvec, 500, cb
+        pq_encode(emb, "embedding", cb), "vec_id", qvec, emb.count(), cb
     ).select(F.col("id").alias("vec_id"))
     q = F.array(*[F.lit(v) for v in qvec])
     rer = (
