@@ -369,6 +369,12 @@ def ngram_jaccard_pairs(
             f" i -> substring({text_col}, i, {n})))"
         ).alias("grams"),
         F.md5(F.substring(text_col, 1, n)).alias("block"),
+    ).repartition(
+        # pin the join's parallelism: the within-block pair evaluation is
+        # CPU-bound (array_intersect per pair) on tiny input bytes, so
+        # AQE's byte-based coalescing would serialize it onto 1-2 tasks
+        # (CLAUDE.md; measured 84s -> 27s at sf0.1 on local[16])
+        df.sparkSession.sparkContext.defaultParallelism, "block"
     )
     a, b = df2.alias("a"), df2.alias("b")
     inter = F.size(F.array_intersect("a_grams", "b_grams"))
