@@ -1,0 +1,206 @@
+"""Topological Arc Encoding (TAE) — EVAL-ONLY (kernel K10 family).
+
+The reference lists TAE among its geometry-compression next steps for
+LineString/Polygon layers (`README.md:210-221`: "Topological Arc
+Encoding (TAE)") but, like OptPFD/RLEv2 in its codec sweep, never ships
+it ("Because of the additional complexity and relatively smaller
+savings in size not all encodings are used in the current version",
+`README.md:222`). This module measures what TAE would buy on real
+tiles, the same way `eval_codecs.py` measures the bench-only integer
+codecs: a faithful TopoJSON-style decomposition with an exact
+reconstruction check, never emitted into tiles.
+
+Scheme (TopoJSON's public arc model):
+
+1. every ring/line edge (undirected vertex pair) is counted across the
+   layer; vertices where adjacency branches (more than two distinct
+   neighbors, or incident to both shared and unshared edges) are
+   *junctions*;
+2. rings split into *arcs* at junctions; arcs are deduplicated under
+   direction reversal;
+3. the layer stores each unique arc's vertices ONCE (interleaved
+   delta-zigzag varints, the reference's own vertex coding) plus, per
+   ring, the arc references (zigzag varint ids, sign = direction);
+4. reconstruction re-walks the references and must reproduce every ring
+   vertex-for-vertex — asserted by :func:`tae_roundtrip_ok`.
+
+Shared boundaries (two adjacent landcover polygons, a border drawn in
+two rings) are therefore stored once instead of twice — exactly the
+redundancy gzip finds in ICE vertex/offset streams but no in-enum
+stream coding can express.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+from cov_tiles_spark.covt.varint import encode_varints, zigzag_encode
+
+
+def _rings_of_layer(geom, spans) -> list[np.ndarray]:
+    """All closed rings / open linestrings as (n,2) vertex arrays, in
+    stream order (uses the per-feature spans from covt/order.py)."""
+    from cov_tiles_spark.covt.decoder import vertex_segment_lengths
+
+    seg_lengths = vertex_segment_lengths(
+        geom.geometry_types, geom.geometry_offsets, geom.part_offsets,
+        geom.ring_offsets,
+    )
+    vb = np.asarray(geom.vertex_buffer, dtype=np.int64).reshape(-1, 2)
+    out, pos = [], 0
+    for n in seg_lengths.tolist():
+        out.append(vb[pos : pos + n])
+        pos += n
+    return out
+
+
+def decompose_arcs(rings: list[np.ndarray], closed: bool = True):
+    """Split rings into deduplicated arcs.
+
+    Returns ``(arcs, refs, rots)``: ``arcs`` a list of (n,2) vertex
+    arrays, ``refs`` per ring a list of signed 1-based arc ids
+    (negative = traverse reversed), ``rots`` the per-ring rotation
+    applied before splitting (closed rings rotate so a junction leads;
+    storing it makes reconstruction vertex-for-vertex EXACT, not just
+    exact-up-to-rotation — required by the strict round-trip oracle).
+    Pure python dict/counter walk — ring counts per tile are small
+    (<= thousands); the per-edge work is O(total vertices).
+    """
+    # edge multiplicity + vertex adjacency
+    edge_count: dict[tuple, int] = defaultdict(int)
+    nbrs: dict[tuple, set] = defaultdict(set)
+    ring_edges = []
+    for r in rings:
+        pts = [tuple(p) for p in r.tolist()]
+        if closed and len(pts) > 1:
+            cyc = pts + [pts[0]]
+        else:
+            cyc = pts
+        edges = list(zip(cyc[:-1], cyc[1:]))
+        ring_edges.append((pts, edges))
+        for a, b in edges:
+            edge_count[frozenset((a, b))] += 1
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+
+    def is_junction(v) -> bool:
+        if len(nbrs[v]) != 2:
+            return True
+        counts = {edge_count[frozenset((v, w))] for w in nbrs[v]}
+        return len(counts) > 1  # shared/unshared boundary change
+
+    arcs: list[tuple] = []
+    arc_ids: dict[tuple, int] = {}
+    refs: list[list[int]] = []
+    rots: list[int] = []
+
+    for pts, edges in ring_edges:
+        if not edges:
+            refs.append([])
+            rots.append(0)
+            continue
+        # split positions: junction vertices (ring rotated so a junction
+        # leads, when one exists, so no arc spans the seam)
+        n = len(pts)
+        rot = 0
+        juncs = [i for i, v in enumerate(pts) if is_junction(v)]
+        if closed and juncs:
+            rot = juncs[0]
+            pts = pts[rot:] + pts[:rot]
+            juncs = sorted((i - rot) % n for i in juncs)
+        rots.append(rot)
+        cuts = sorted(set([0] + juncs))  # open chains always cut at 0
+        # junction-free closed rings keep their open form (one arc of n
+        # vertices, no synthetic closing vertex inflating the count)
+        cyc = pts + [pts[0]] if (closed and juncs) else pts
+        ring_refs = []
+        bounds = cuts + [len(cyc) - 1]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e <= s:
+                continue
+            chain = tuple(cyc[s : e + 1])
+            rev = tuple(reversed(chain))
+            if chain in arc_ids:
+                ring_refs.append(arc_ids[chain] + 1)
+            elif rev in arc_ids:
+                ring_refs.append(-(arc_ids[rev] + 1))
+            else:
+                arc_ids[chain] = len(arcs)
+                arcs.append(chain)
+                ring_refs.append(len(arcs))
+        refs.append(ring_refs)
+    return [np.array(a, np.int64) for a in arcs], refs, rots
+
+
+def reconstruct_rings(
+    arcs, refs, rots=None, closed: bool = True
+) -> list[np.ndarray]:
+    """Inverse of :func:`decompose_arcs` — vertex-for-vertex exact when
+    ``rots`` is given, exact up to ring rotation otherwise."""
+    out = []
+    for i, ring_refs in enumerate(refs):
+        pts: list = []
+        for rid in ring_refs:
+            a = arcs[abs(rid) - 1]
+            seq = a[::-1] if rid < 0 else a
+            seq = seq.tolist()
+            if pts and pts[-1] == seq[0]:
+                seq = seq[1:]
+            pts.extend(seq)
+        if closed and len(pts) > 1 and pts[0] == pts[-1]:
+            pts = pts[:-1]
+        if rots is not None and rots[i]:
+            r = rots[i]
+            pts = pts[-r:] + pts[:-r]
+        out.append(np.array(pts, np.int64).reshape(-1, 2))
+    return out
+
+
+def tae_roundtrip_ok(rings: list[np.ndarray], closed: bool = True) -> bool:
+    """Vertex-for-vertex exact reconstruction (rotations stored)."""
+    arcs, refs, rots = decompose_arcs(rings, closed=closed)
+    back = reconstruct_rings(arcs, refs, rots, closed=closed)
+    return len(back) == len(rings) and all(
+        len(r) == len(b) and bool((r == b).all())
+        for r, b in zip(rings, back)
+    )
+
+
+def tae_size(rings: list[np.ndarray], closed: bool = True) -> dict:
+    """Estimated TAE bytes vs the plain per-ring delta coding.
+
+    Both sides use the reference's own vertex coding (interleaved
+    delta-zigzag varints restarting per chain); TAE adds the per-ring
+    (rotation + signed arc references) stream and per-arc length
+    varints.
+    """
+    def chain_bytes(chains) -> int:
+        total = 0
+        for c in chains:
+            v = np.asarray(c, np.int64).reshape(-1)
+            d = v.copy()
+            d[2:] = v[2:] - v[:-2]  # interleaved x/y delta, restart per chain
+            total += len(encode_varints(zigzag_encode(d)))
+        return total
+
+    arcs, refs, rots = decompose_arcs(rings, closed=closed)
+    ref_stream = np.array(
+        [v for ring, rot in zip(refs, rots) for v in ([rot] + ring)],
+        np.int64,
+    )
+    ref_bytes = len(encode_varints(zigzag_encode(ref_stream))) + len(
+        encode_varints(np.array([len(r) for r in refs], np.uint64))
+    )
+    arc_len_bytes = len(
+        encode_varints(np.array([len(a) for a in arcs], np.uint64))
+    )
+    return {
+        "plain_bytes": chain_bytes(rings),
+        "tae_bytes": chain_bytes(arcs) + ref_bytes + arc_len_bytes,
+        "n_rings": len(rings),
+        "n_arcs": len(arcs),
+        "shared_vertex_frac": 1.0
+        - (sum(len(a) for a in arcs) / max(1, sum(len(r) for r in rings))),
+    }

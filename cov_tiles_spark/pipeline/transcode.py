@@ -221,7 +221,7 @@ def _genb_inputs(mvt_bytes: bytes) -> tuple[list[LayerInput], int]:
 
 
 def mvt_to_genb(
-    mvt_bytes: bytes, reorder: bool = False
+    mvt_bytes: bytes, reorder: bool = False, allow_tae: bool = False
 ) -> tuple[bytes, dict, int, int]:
     """One tile: MVT bytes -> (gen-B COVT bytes, TileJSON dict, n_layers,
     n_features). ``name:*`` groups use the format-reserved
@@ -234,7 +234,12 @@ def mvt_to_genb(
     (README.md:210-221 levers + the converter's id sort) — never worse
     than source order, ~3x encode cost, so it is the offline/parity
     option, not the hot default. Reordered tiles verify as feature
-    multisets (``_features_match(any_order=True)``)."""
+    multisets (``_features_match(any_order=True)``).
+
+    ``allow_tae=True`` additionally lets the geometry argmin pick the
+    TAE arc column (our documented extension beyond the reference's
+    ColumnType enum — decode requires this library); TAE decode is
+    vertex-for-vertex exact, so strict verification still applies."""
     from cov_tiles_spark.covt.genb import encode_tile_genb
 
     inputs, n_features = _genb_inputs(mvt_bytes)
@@ -244,7 +249,8 @@ def mvt_to_genb(
         def _sz(lay) -> int:
             return len(
                 encode_tile_genb(
-                    [lay], optimize_metadata=True, geometry_encoding="best"
+                    [lay], optimize_metadata=True, geometry_encoding="best",
+                    allow_tae=allow_tae,
                 )[0]
             )
 
@@ -256,7 +262,8 @@ def mvt_to_genb(
             for lay in inputs
         ]
     payload, tilejson = encode_tile_genb(
-        inputs, optimize_metadata=True, geometry_encoding="best"
+        inputs, optimize_metadata=True, geometry_encoding="best",
+        allow_tae=allow_tae,
     )
     return payload, tilejson, len(inputs), n_features
 
@@ -425,7 +432,8 @@ def _features_match(
 
 
 def _transcode_batches(
-    batches: Iterator[pd.DataFrame], reorder_genb: bool = False
+    batches: Iterator[pd.DataFrame], reorder_genb: bool = False,
+    allow_tae_genb: bool = False,
 ) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
@@ -438,7 +446,9 @@ def _transcode_batches(
             covt, n_layers, n_features = mvt_to_covt(raw)
             mvt_layers = decode_mvt(raw)
             ok = verify_roundtrip(covt, mvt_layers)
-            genb, tilejson, _, _ = mvt_to_genb(raw, reorder=reorder_genb)
+            genb, tilejson, _, _ = mvt_to_genb(
+                raw, reorder=reorder_genb, allow_tae=allow_tae_genb
+            )
             genb_ok = verify_genb_roundtrip(
                 genb, tilejson, mvt_layers, any_order=reorder_genb
             )
@@ -464,7 +474,8 @@ def _transcode_batches(
 
 
 def transcode_mvt_directory(
-    spark: SparkSession, glob_path: str, reorder_genb: bool = False
+    spark: SparkSession, glob_path: str, reorder_genb: bool = False,
+    allow_tae_genb: bool = False,
 ) -> DataFrame:
     """Transcode every .mvt/.pbf under ``glob_path`` to COVT, verified.
 
@@ -479,7 +490,9 @@ def transcode_mvt_directory(
     )
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        yield from _transcode_batches(batches, reorder_genb=reorder_genb)
+        yield from _transcode_batches(
+            batches, reorder_genb=reorder_genb, allow_tae_genb=allow_tae_genb
+        )
 
     return files.mapInPandas(_batches, schema=TRANSCODE_SCHEMA)
 
