@@ -245,6 +245,10 @@ def _encode_geometry_tae(
     for n in seg_lengths.tolist():
         chains.append(vb[pos : pos + n])
         pos += n
+    if any(len(c) < 2 for c in chains):
+        # degenerate 0/1-vertex chains produce no edges, so the arc walk
+        # would silently drop them — not TAE-applicable
+        return None
     arcs, refs, rots = decompose_arcs(chains, closed=(kind == "poly"))
 
     streams: list[tuple[StreamType, StreamEncoding, int, bytes]] = [

@@ -175,3 +175,43 @@ def test_tae_golden_tile_strict_verify():
     pay, tj, _, _ = mvt_to_genb(raw, allow_tae=True)
     assert len(pay) < len(base)
     assert verify_genb_roundtrip(pay, tj, decode_mvt(raw))  # strict
+
+
+def test_tae_wire_random_linestrings_kernel():
+    """Randomized wire-level kernel check: encode/decode the TAE column
+    streams directly for line layers with duplicated + reversed parts."""
+    from cov_tiles_spark.covt.genb import (
+        _decode_geometry_tae,
+        _encode_geometry_tae,
+    )
+    from cov_tiles_spark.covt.decoder import GeometryColumn as GC
+
+    rng = np.random.default_rng(12)
+    for trial in range(10):
+        parts = [
+            rng.integers(0, 500, (int(n), 2)).astype(np.int64)
+            for n in rng.integers(2, 12, 8)
+        ]
+        parts += [parts[0][::-1], parts[1].copy()]  # reversed + exact dup
+        vb = np.concatenate([p.reshape(-1) for p in parts]).astype(np.int32)
+        g = GC(
+            geometry_types=np.full(
+                len(parts), GeometryType.LINESTRING, np.uint8
+            ),
+            vertex_buffer=vb,
+            part_offsets=np.array([len(p) for p in parts], np.int64),
+        )
+        enc = _encode_geometry_tae(g, True, True)
+        assert enc is not None
+        ctype, streams = enc
+        buf = np.frombuffer(
+            b"".join(d for *_, d in streams), dtype=np.uint8
+        )
+        meta = [(st, se, nv, len(d)) for st, se, nv, d in streams]
+        dec, pos = _decode_geometry_tae(buf, 0, meta)
+        assert pos == len(buf), trial
+        np.testing.assert_array_equal(dec.vertex_buffer, vb, err_msg=str(trial))
+        np.testing.assert_array_equal(
+            dec.part_offsets, np.asarray(g.part_offsets)
+        )
+        assert dec.ring_offsets is None
