@@ -269,7 +269,7 @@ def mvt_to_genb(
 
 
 def mvts_to_genb_tileset(
-    mvt_tiles: list[bytes],
+    mvt_tiles: list[bytes], allow_tae: bool = False
 ) -> tuple[list[bytes], dict]:
     """Tileset conversion: MVT tiles -> gen-B payloads sharing ONE
     central TileJSON (global layer/column ids via
@@ -288,6 +288,7 @@ def mvts_to_genb_tileset(
             optimize_metadata=True,
             geometry_encoding="best",
             layer_table=table,
+            allow_tae=allow_tae,
         )[0]
         for inputs in per_tile
     ]

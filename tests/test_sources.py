@@ -93,3 +93,28 @@ def test_export_mbtiles_to_mvt_both_formats(spark, tmp_path):
     assert len(out) == 4
     assert all(r.verified for r in out), [r.path for r in out if not r.verified]
     assert all(r.mvt_bytes > 0 and r.n_features > 0 for r in out)
+
+
+def test_export_mbtiles_with_tae_tiles(spark, tmp_path):
+    """An archive whose gen-B tiles use the TAE extension column still
+    exports back to MVT verified (TAE decode rebuilds the standard SoA,
+    so the whole serving path is extension-transparent)."""
+    from cov_tiles_spark.pipeline.transcode import (
+        export_mbtiles_to_mvt,
+        mvts_to_genb_tileset,
+    )
+
+    ref = Path("/root/reference/parser/js/data/omt")
+    paths = sorted(ref.glob("*.mvt"))[-2:]  # z7/z8: TAE-rich layers
+    srcs = [p.read_bytes() for p in paths]
+    base, _ = mvts_to_genb_tileset(srcs)
+    payloads, tilejson = mvts_to_genb_tileset(srcs, allow_tae=True)
+    assert sum(map(len, payloads)) < sum(map(len, base))  # TAE engaged
+    rows = []
+    for p, payload in zip(paths, payloads):
+        z, x, y = (int(v) for v in p.stem.split("_"))
+        rows.append((z, x, y, payload))
+    db = str(tmp_path / "tae.mbtiles")
+    write_mbtiles(rows, db, metadata={"format": "covt", "json": tilejson})
+    out = export_mbtiles_to_mvt(spark, db).collect()
+    assert len(out) == 2 and all(r.verified for r in out)
