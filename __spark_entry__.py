@@ -836,6 +836,19 @@ def q_profile_approx(spark, sf_dir):
     )
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py): one
+    corpus-scale word-count pass, then 40 merge iterations over the
+    vocabulary-sized table (JVM pair explode + sum, vectorized merge
+    UDF). Deterministic tie-breaking makes the merge sequence a pure
+    function of the corpus; the oracle is an independent pure-python
+    trainer (scripts/build_oracles.py, committed parquet)."""
+    from cov_tiles_spark.operators.bpe import bpe_merges_df
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_merges_df(d, "text", n_merges=40).orderBy("rank")
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup by md5(text) over documents + shifted copies (dedup #1)."""
     d = _t(spark, sf_dir, "documents")
@@ -1382,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_profile": q_profile,
         "q_profile_approx": q_profile_approx,
+        "q_bpe_train": q_bpe_train,
         "q_token_counts": q_token_counts,
         "q_token_counts_bpe": q_token_counts_bpe,
         "q_lang_id": q_lang_id,
@@ -1773,6 +1787,11 @@ def oracle_sql() -> dict[str, str]:
                      TRUE
               FROM orders)
             SELECT * FROM s ORDER BY "column"
+        """,
+        "q_bpe_train": f"""
+            SELECT "rank", "left", "right", freq
+            FROM read_parquet('{_ORACLE_DIR}/q_bpe_train.parquet')
+            ORDER BY "rank"
         """,
         "q_dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,

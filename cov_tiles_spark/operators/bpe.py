@@ -1,0 +1,138 @@
+"""Distributed BPE tokenizer training — the missing piece between the
+token-counting operators (`operators/text.py`) and a real training-data
+pipeline: the vocabulary itself is learned from the corpus.
+
+Algorithm (Sennrich et al. 2016, public): start from characters, then
+repeatedly merge the most frequent adjacent symbol pair. The classic
+distributed shape (also how Hugging Face tokenizers trains):
+
+1. ONE corpus-scale pass builds the distinct-word count table
+   (``word_counts`` — hash aggregation, map-side combined); the corpus
+   is never touched again.
+2. Every merge iteration runs over the *vocabulary-sized* table
+   (distinct words, not corpus rows): pair counts via a JVM-side
+   explode + sum, the argmax pair collected to the driver (one row),
+   and the merge applied with a vectorized pandas UDF.
+
+At 100 TB the corpus pass dominates and is embarrassingly parallel;
+iterations touch ~1e6-1e8 distinct words — cacheable, with
+``localCheckpoint`` truncating the iterative lineage every few rounds
+(the iterative-DataFrame trap; see `operators/cluster.py`).
+
+Determinism: ties break (freq DESC, left ASC, right ASC), so the merge
+sequence is a pure function of the corpus — the driver gate pins it
+against an independent pure-python implementation
+(`scripts/build_oracles.py`).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CHECKPOINT_EVERY = 8
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) over lowercased whitespace tokens — the one
+    corpus-scale pass."""
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _merge_udf(left: str, right: str):
+    merged = left + right
+
+    @F.pandas_udf("array<string>")
+    def apply_merge(syms: pd.Series) -> pd.Series:
+        out = []
+        for s in syms:
+            s = list(s)
+            if left not in s:  # fast path: most words lack the pair
+                out.append(s)
+                continue
+            res, i, n = [], 0, len(s)
+            while i < n:
+                if i + 1 < n and s[i] == left and s[i + 1] == right:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            out.append(res)
+        return pd.Series(out)
+
+    return apply_merge
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 40,
+    min_freq: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns [(left, right, freq)] in
+    merge order. Stops early when no pair reaches ``min_freq``."""
+    wc = word_counts(docs, text_col).withColumn(
+        # seed symbols = characters (split on the empty pattern yields
+        # the character array in both Spark and Python)
+        "syms",
+        F.split("word", ""),
+    ).select("syms", "n").localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str, int]] = []
+    for it in range(n_merges):
+        pair_counts = (
+            # single-symbol words carry no pairs — and sequence(1, 0)
+            # is DESCENDING in Spark, not empty, so they must be
+            # filtered before the transform (ANSI element_at would
+            # throw on the out-of-range index)
+            wc.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) as l, "
+                        "element_at(syms, i + 1) as r))"
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("freq"))
+        )
+        top = pair_counts.orderBy(
+            F.col("freq").desc(), F.col("l"), F.col("r")
+        ).limit(1).collect()
+        if not top or top[0]["freq"] < min_freq:
+            break
+        left, right, freq = top[0]["l"], top[0]["r"], int(top[0]["freq"])
+        merges.append((left, right, freq))
+        wc = wc.withColumn("syms", _merge_udf(left, right)(F.col("syms")))
+        if (it + 1) % _CHECKPOINT_EVERY == 0:
+            wc = wc.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_merges_df(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 40,
+    min_freq: int = 2,
+) -> DataFrame:
+    """(rank, left, right, freq) DataFrame view of :func:`bpe_train` —
+    the gate-friendly shape."""
+    merges = bpe_train(docs, text_col, n_merges, min_freq)
+    return docs.sparkSession.createDataFrame(
+        [(i + 1, l, r, f) for i, (l, r, f) in enumerate(merges)],
+        "rank int, left string, right string, freq bigint",
+    )

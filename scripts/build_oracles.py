@@ -798,6 +798,55 @@ def q_dup_clusters(sf_dir: str) -> pd.DataFrame:
     )
 
 
+
+
+# --------------------------------------------------- q_bpe_train (scalar)
+
+def q_bpe_train(sf_dir: str) -> pd.DataFrame:
+    """Independent BPE trainer: plain dict/Counter loops over the
+    distinct-word counts, 40 merges, ties (freq DESC, left ASC,
+    right ASC) — no Spark, no cov_tiles_spark imports."""
+    from collections import Counter
+
+    d = load(sf_dir, "documents")
+    wc: Counter = Counter()
+    for t in d["text"]:
+        for w in str(t).lower().split():
+            wc[w] += 1
+    words = {w: (list(w), n) for w, n in wc.items()}
+
+    rows = []
+    for rank in range(1, 41):
+        pairs: Counter = Counter()
+        for syms, n in words.values():
+            for a, b in zip(syms[:-1], syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        (left, right), freq = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if freq < 2:
+            break
+        rows.append((rank, left, right, freq))
+        merged = left + right
+        for w, (syms, n) in words.items():
+            if left not in syms:
+                continue
+            res, i, m = [], 0, len(syms)
+            while i < m:
+                if i + 1 < m and syms[i] == left and syms[i + 1] == right:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[w] = (res, n)
+    return pd.DataFrame(
+        rows, columns=["rank", "left", "right", "freq"]
+    ).astype({"rank": "int32", "freq": "int64"})
+
+
 ORACLES = {
     "q_hilbert_cells": q_hilbert_cells,
     "q_h3_cells": q_h3_cells,
@@ -813,6 +862,7 @@ ORACLES = {
     "q_token_counts_bpe": q_token_counts_bpe,
     "q_dup_clusters": q_dup_clusters,
     "q_decontaminate": q_decontaminate,
+    "q_bpe_train": q_bpe_train,
 }
 
 
