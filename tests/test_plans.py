@@ -94,3 +94,17 @@ def test_knn_prefilter_reaches_join(spark):
     assert "Join" in opt
     # the L-inf box predicate appears in the optimized plan
     assert "abs(" in opt.lower()
+
+def test_qknn_fallback_window_is_locally_reduced(spark):
+    """The q_knn entry's fallback must run _local_topk (a mapInPandas
+    per-partition reduction) BEFORE its per-query window — the round-2
+    verdict's last un-reduced broadcast-cartesian window. The plan
+    string must show the Python reduction below the Window operator."""
+    import __spark_entry__ as E
+
+    df = E.q_knn(spark, SF)
+    plan = _plan(df)
+    # the fallback branch (second child of the union) carries a window;
+    # a MapInPandas/ArrowEvalPython node must feed it
+    assert "Window" in plan
+    assert "MapInPandas" in plan, plan[:2000]
