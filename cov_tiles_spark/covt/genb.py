@@ -857,7 +857,7 @@ def _decode_geometry_tae(
     :func:`_encode_geometry_tae`) back to the standard SoA — including
     undoing the per-ring junction rotation, so the result is
     vertex-for-vertex identical to what was encoded."""
-    from cov_tiles_spark.covt.tae import reconstruct_rings
+    from cov_tiles_spark.covt.tae import assemble_vertex_buffer
     from cov_tiles_spark.covt.varint import zigzag_decode
 
     types = geometry_offsets = part_stream = ring_stream = None
@@ -896,22 +896,23 @@ def _decode_geometry_tae(
             raise ValueError(f"unexpected TAE stream {stype}")
 
     poly = _tae_kind(types) == "poly"
-    refs_per_chain = ring_stream if poly else part_stream
-    bounds = np.cumsum(arc_lengths) if arc_lengths is not None else np.empty(0, np.int64)
-    store = arc_store.reshape(-1, 2)
-    arcs = [store[s:e] for s, e in zip(np.r_[0, bounds[:-1]], bounds)]
-    refs, rots, c = [], [], 0
-    for k in (refs_per_chain.tolist() if refs_per_chain is not None else []):
-        rots.append(int(ref_vals[c]))
-        refs.append([int(v) for v in ref_vals[c + 1 : c + 1 + k]])
-        c += 1 + k
-    chains = reconstruct_rings(arcs, refs, rots, closed=poly)
-    vertex_buffer = (
-        np.concatenate([ch.reshape(-1) for ch in chains])
-        if chains
-        else np.empty(0, np.int64)
-    ).astype(np.int32)
-    chain_lengths = np.array([len(ch) for ch in chains], np.int64)
+    refs_per_chain = (
+        ring_stream if poly else part_stream
+    )
+    if refs_per_chain is None:
+        refs_per_chain = np.zeros(0, np.int64)
+    if arc_lengths is None:
+        arc_lengths = np.zeros(0, np.int64)
+    # the flattened [rotation, refs...] stream splits by (1 + k):
+    # rotation sits at each chain's head slot
+    head = np.cumsum(refs_per_chain + 1) - (refs_per_chain + 1)
+    rots = ref_vals[head] if len(head) else np.zeros(0, np.int64)
+    refs_flat = np.delete(ref_vals, head) if len(head) else ref_vals
+    verts, chain_lengths = assemble_vertex_buffer(
+        arc_store if arc_store is not None else np.zeros(0, np.int64),
+        arc_lengths, refs_flat, refs_per_chain, rots, closed=poly,
+    )
+    vertex_buffer = verts.reshape(-1).astype(np.int32)
     return (
         GeometryColumn(
             geometry_types=types,

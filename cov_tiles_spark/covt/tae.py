@@ -158,6 +158,77 @@ def reconstruct_rings(
     return out
 
 
+def assemble_vertex_buffer(
+    arc_store: np.ndarray,
+    arc_lengths: np.ndarray,
+    refs_flat: np.ndarray,
+    refs_per_chain: np.ndarray,
+    rots: np.ndarray,
+    closed: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized decode-path inverse of :func:`decompose_arcs`.
+
+    One gather over the arc store instead of a per-chain python walk
+    (the scalar :func:`reconstruct_rings` measured +77% tile decode
+    time on the z8 golden tile; rings are small, so per-ring numpy
+    calls would hit the numpy-per-item overhead instead — this builds
+    ALL chains' indices in one pass). Exploits two structural
+    invariants of the decomposition: consecutive arcs in a chain always
+    share their joint vertex (drop the first vertex of every non-first
+    ref), and a closed chain's assembly ends on its start vertex iff it
+    was junction-split (drop the trailing closure when first == last).
+
+    Returns ``(vertices (N,2) int64, chain_lengths (C,))``.
+    """
+    from cov_tiles_spark.covt.decoder import _grouped_arange
+
+    arc_lengths = np.asarray(arc_lengths, np.int64)
+    refs_flat = np.asarray(refs_flat, np.int64)
+    refs_per_chain = np.asarray(refs_per_chain, np.int64)
+    rots = np.asarray(rots, np.int64)
+    store = np.asarray(arc_store, np.int64).reshape(-1, 2)
+    if len(refs_flat) == 0:
+        return np.empty((0, 2), np.int64), np.zeros(len(refs_per_chain), np.int64)
+
+    arc_start = np.cumsum(arc_lengths) - arc_lengths
+    aid = np.abs(refs_flat) - 1
+    L = arc_lengths[aid]
+    # first ref of each chain keeps its joint vertex
+    ref_pos_in_chain = _grouped_arange(refs_per_chain)
+    skip = (ref_pos_in_chain > 0).astype(np.int64)
+    contrib = L - skip
+    t = _grouped_arange(contrib) + np.repeat(skip, contrib)
+    fwd = np.repeat(arc_start[aid], contrib) + t
+    rev = np.repeat(arc_start[aid] + L - 1, contrib) - t
+    idx = np.where(np.repeat(refs_flat < 0, contrib), rev, fwd)
+    assembled = store[idx]
+
+    # per-chain assembled lengths
+    ref_chain_bounds = np.cumsum(refs_per_chain)
+    csum = np.concatenate([[0], np.cumsum(contrib)])
+    n0 = csum[ref_chain_bounds] - csum[np.concatenate([[0], ref_chain_bounds[:-1]])]
+    starts0 = np.cumsum(n0) - n0
+    if closed:
+        nonempty = n0 > 1
+        last = starts0 + n0 - 1
+        drop = np.zeros(len(n0), dtype=bool)
+        ne = np.flatnonzero(nonempty)
+        drop[ne] = (
+            assembled[starts0[ne]] == assembled[last[ne]]
+        ).all(axis=1)
+        n = n0 - drop.astype(np.int64)
+    else:
+        n = n0
+    # final gather with per-chain rotation undo:
+    # out[j] = dec[(j + n - rot) % n]
+    out_starts = np.repeat(starts0, n)
+    j = _grouped_arange(n)
+    nn = np.repeat(n, n)
+    rr = np.repeat(np.where(n > 0, rots % np.maximum(n, 1), 0), n)
+    out_idx = out_starts + (j + nn - rr) % nn
+    return assembled[out_idx], n
+
+
 def tae_roundtrip_ok(rings: list[np.ndarray], closed: bool = True) -> bool:
     """Vertex-for-vertex exact reconstruction (rotations stored)."""
     arcs, refs, rots = decompose_arcs(rings, closed=closed)
