@@ -106,12 +106,31 @@ class IcebergLite:
         pending = df.cache()
         # per-partition metrics + checksum (xxhash64 of every cell, xor-agg)
         cols = [c for c in pending.columns]
-        row_hash = F.xxhash64(*cols)
+        dtypes = dict(pending.dtypes)
+        # logical byte size = sum of per-column octet lengths; binary
+        # columns use length() directly instead of the previous
+        # to_json(struct(...)) rendering, which base64-encoded every
+        # payload blob just for this metric (wall-clock neutral at
+        # sf0.1 where payloads are small; avoids the 4/3x blob copy
+        # when payload bytes dominate row width)
+        sizes = [
+            F.coalesce(
+                F.length(
+                    F.col(c) if dtypes[c] in ("binary", "string")
+                    else F.col(c).cast("string")
+                ),
+                F.lit(0),
+            )
+            for c in cols
+        ]
+        byte_expr = sizes[0]
+        for e in sizes[1:]:
+            byte_expr = byte_expr + e
         metrics = (
             pending.groupBy(F.col(partition_col).cast("string").alias("partition_key"))
             .agg(
                 F.count("*").alias("n_rows"),
-                F.sum(F.length(F.to_json(F.struct(*cols)))).alias("n_bytes"),
+                F.sum(byte_expr.cast("long")).alias("n_bytes"),
                 # xor-fold: order-insensitive and immune to ANSI overflow
                 F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("checksum"),
             )
