@@ -98,7 +98,17 @@ def decompose_arcs(rings: list[np.ndarray], closed: bool = True):
 
     for pts, edges in ring_edges:
         if not edges:
-            refs.append([])
+            # degenerate chain (0 or 1 vertex): no edges, but the
+            # vertex itself must survive — emit it as a 1-vertex arc
+            # (hypothesis-found: it previously reconstructed to empty)
+            if pts:
+                chain = tuple(pts)
+                if chain not in arc_ids:
+                    arc_ids[chain] = len(arcs)
+                    arcs.append(chain)
+                refs.append([arc_ids[chain] + 1])
+            else:
+                refs.append([])
             rots.append(0)
             continue
         # split positions: junction vertices (ring rotated so a junction

@@ -215,3 +215,51 @@ def test_tae_wire_random_linestrings_kernel():
             dec.part_offsets, np.asarray(g.part_offsets)
         )
         assert dec.ring_offsets is None
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _ring = st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1, max_size=8,
+    )
+
+    @given(st.lists(_ring, min_size=1, max_size=8), st.booleans())
+    @settings(max_examples=120, deadline=None)
+    def test_tae_property_roundtrip(rings_py, closed):
+        """Decompose/reconstruct is exact on arbitrary tiny-grid rings —
+        heavy vertex reuse, self-touching rings, duplicate points."""
+        rings = [np.array(r, np.int64).reshape(-1, 2) for r in rings_py]
+        assert tae_roundtrip_ok(rings, closed=closed)
+
+    @given(st.lists(_ring.filter(lambda r: len(r) >= 2), min_size=1, max_size=6))
+    @settings(max_examples=60, deadline=None)
+    def test_tae_property_wire_kernel(parts_py):
+        """Wire-level encode/decode equivalence on arbitrary line parts
+        (covers the vectorized assemble_vertex_buffer against the
+        scalar reference path semantics)."""
+        from cov_tiles_spark.covt.decoder import GeometryColumn as GC
+        from cov_tiles_spark.covt.genb import (
+            _decode_geometry_tae,
+            _encode_geometry_tae,
+        )
+
+        parts = [np.array(p, np.int64).reshape(-1, 2) for p in parts_py]
+        vb = np.concatenate([p.reshape(-1) for p in parts]).astype(np.int32)
+        g = GC(
+            geometry_types=np.full(len(parts), GeometryType.LINESTRING, np.uint8),
+            vertex_buffer=vb,
+            part_offsets=np.array([len(p) for p in parts], np.int64),
+        )
+        enc = _encode_geometry_tae(g, True, True)
+        assert enc is not None
+        _, streams = enc
+        buf = np.frombuffer(b"".join(d for *_, d in streams), dtype=np.uint8)
+        meta = [(s, e, nv, len(d)) for s, e, nv, d in streams]
+        dec, pos = _decode_geometry_tae(buf, 0, meta)
+        assert pos == len(buf)
+        np.testing.assert_array_equal(dec.vertex_buffer, vb)
+except ImportError:  # hypothesis is expected in this sandbox, but gate anyway
+    pass
