@@ -74,6 +74,8 @@ def build_bloom(
     masks; the driver only scatters the non-zero words into the final
     bitmap. ``merge_parallelism`` bounds the word shuffle's partition
     count (the aggregation is map-side combined either way)."""
+    if num_bits <= 0 or num_bits & (num_bits - 1):
+        raise ValueError(f"num_bits must be a power of two, got {num_bits}")
     pos = df.select(
         F.explode(
             F.array(*_positions(F.col(key_col), num_bits, num_hashes))
@@ -108,6 +110,8 @@ def bloom_filter_rows(
     num_hashes: int,
 ) -> DataFrame:
     """Keep rows whose key *may* be in the filter (no false negatives)."""
+    if num_bits <= 0 or num_bits & (num_bits - 1):
+        raise ValueError(f"num_bits must be a power of two, got {num_bits}")
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(np.frombuffer(bloom, dtype=np.uint8))
     pos_cols = _positions(F.col(key_col), num_bits, num_hashes)

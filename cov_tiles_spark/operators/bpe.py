@@ -40,7 +40,16 @@ _CHECKPOINT_EVERY = 2
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n) over lowercased whitespace tokens — the one
-    corpus-scale pass."""
+    corpus-scale pass.
+
+    ASCII/BMP scope (documented, matching scripts/build_oracles.py's
+    pure-python twin): Java-regex ``\\s+`` matches only ASCII
+    whitespace while python ``str.split()`` splits on all Unicode
+    whitespace, and ``F.split(word, '')`` splits UTF-16 surrogate
+    pairs (astral-plane code points, e.g. emoji) into lone surrogates
+    where ``list(w)`` keeps one code point. The gate corpus and the
+    intended tokenizer input are ASCII; feed non-BMP corpora through a
+    normalizing pre-pass if that ever changes."""
     return (
         docs.select(
             F.explode(

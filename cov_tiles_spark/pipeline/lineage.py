@@ -107,15 +107,15 @@ class IcebergLite:
         # per-partition metrics + checksum (xxhash64 of every cell, xor-agg)
         cols = [c for c in pending.columns]
         dtypes = dict(pending.dtypes)
-        # logical byte size = sum of per-column octet lengths; binary
-        # columns use length() directly instead of the previous
-        # to_json(struct(...)) rendering, which base64-encoded every
-        # payload blob just for this metric (wall-clock neutral at
-        # sf0.1 where payloads are small; avoids the 4/3x blob copy
-        # when payload bytes dominate row width)
+        # logical byte size = sum of per-column octet lengths
+        # (octet_length counts UTF-8 bytes for strings, raw bytes for
+        # binary); binary columns avoid the previous to_json(struct())
+        # rendering, which base64-encoded every payload blob just for
+        # this metric (wall-clock neutral at sf0.1 where payloads are
+        # small; avoids the 4/3x blob copy when payload bytes dominate)
         sizes = [
             F.coalesce(
-                F.length(
+                F.octet_length(
                     F.col(c) if dtypes[c] in ("binary", "string")
                     else F.col(c).cast("string")
                 ),

@@ -325,6 +325,98 @@ def _make_encode_stream(
     return encode_stream
 
 
+def _make_precap_stream(cap: int, schema_cols: list[str]):
+    """Narrow per-input-partition pre-cap BEFORE the encode exchange.
+
+    Emits, per (z, x, y) tile, a small superset of the ``cap`` smallest
+    ``_sk`` rows seen in this partition — so a planet-hot tile ships
+    O(partitions x cap) rows across the exchange instead of all of its
+    pre-cap rows (the round-3 verdict's one remaining unbounded-fan-in
+    path). Exactness: the downstream inline cap selects "first ``cap``
+    rows in (_sk, image_id) order"; any row dropped here has ``_sk``
+    strictly greater than the cap-th smallest ``_sk`` value (with
+    multiplicity) among rows seen so far in the partition, so at least
+    ``cap`` rows precede it in the selection order and it can never be
+    selected. Ties at the threshold are always kept (superset, never a
+    subset), and the final selection downstream is unchanged.
+
+    Cost discipline (CLAUDE.md numpy-per-small-item gotcha): the common
+    uniform case — thousands of small tiles per batch — is handled by one
+    vectorized lexsort + rank filter per batch plus a python-int dict
+    count walk; per-tile numpy work happens ONLY for tiles that actually
+    saturate the cap (the hot tiles, by construction few).
+    """
+
+    def precap(batches):
+        counts: dict[int, int] = {}       # tile -> rows kept so far
+        tracked: dict[int, np.ndarray] = {}  # saturated tile -> cap smallest _sk
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            z = pdf["z"].to_numpy(np.int64)
+            x = pdf["x"].to_numpy(np.int64)
+            y = pdf["y"].to_numpy(np.int64)
+            sk = pdf["_sk"].to_numpy(np.int64)
+            tile = (z << 52) | (x << 26) | y
+            order = np.lexsort((sk, tile))
+            tile_s = tile[order]
+            sk_s = sk[order]
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = np.diff(tile_s) != 0
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            grp = np.cumsum(change) - 1
+            rank = np.arange(n) - starts[grp]
+            # batch-local superset filter: a row in the partition-wide
+            # top-cap has < cap predecessors in its own batch; keep
+            # boundary ties so equal-_sk rows never split a valid subset
+            keep = rank < cap
+            sizes = ends - starts
+            big = sizes > cap
+            if big.any():
+                for gi in np.flatnonzero(big).tolist():
+                    s, e = int(starts[gi]), int(ends[gi])
+                    thr = sk_s[s + cap - 1]
+                    keep[s:e] = sk_s[s:e] <= thr
+            # cross-batch state: python-int walk for counts; numpy only
+            # for tiles at/over the cap
+            kept_sizes = np.minimum(sizes, cap)
+            for t, km, gi in zip(
+                tile_s[starts].tolist(), kept_sizes.tolist(),
+                range(starts.shape[0]),
+            ):
+                st = tracked.get(t)
+                if st is not None:
+                    s, e = int(starts[gi]), int(ends[gi])
+                    merged = np.sort(
+                        np.concatenate([st, sk_s[s:e][keep[s:e]]])
+                    )
+                    if merged.shape[0] > cap:
+                        thr = merged[cap - 1]
+                        keep[s:e] &= sk_s[s:e] <= thr
+                        tracked[t] = merged[:cap]
+                    else:
+                        tracked[t] = merged
+                    continue
+                c = counts.get(t, 0) + km
+                counts[t] = c
+                if c >= cap:
+                    s, e = int(starts[gi]), int(ends[gi])
+                    tracked[t] = np.sort(sk_s[s:e][keep[s:e]])[:cap]
+            if keep.all():
+                yield pdf
+                continue
+            out_mask = np.zeros(n, dtype=bool)
+            out_mask[order] = keep
+            kept_pdf = pdf.loc[out_mask]
+            if len(kept_pdf):
+                yield kept_pdf[schema_cols]
+
+    return precap
+
+
 def _encode_group(pdf: pd.DataFrame, with_mvt_baseline: bool = True) -> pd.DataFrame:
     """Grouped-map compatibility wrapper around the array kernel."""
     arrs = _extract_arrays(pdf)
@@ -381,6 +473,7 @@ def encode_assigned(
     wire_format: str = "gena",
     sample_key: F.Column | None = None,
     num_parts: int | None = None,
+    pre_cap: bool = True,
 ) -> DataFrame:
     """Exchange + sorted-stream encode of already-assigned tile rows.
 
@@ -388,13 +481,30 @@ def encode_assigned(
     default salts it with the zoom so each level caps an independent
     sample. ``pipeline/pyramid.py`` passes a zoom-INDEPENDENT key, the
     property that makes parent tiles exactly derivable from capped child
-    tiles (see its module docstring)."""
+    tiles (see its module docstring).
+
+    ``pre_cap`` inserts a narrow map-side per-tile top-cap reduction
+    BEFORE the exchange (:func:`_make_precap_stream`): exact because the
+    inline cap's selection order (_sk, image_id) is a total order, so
+    local-then-global top-k composes; bounds a hot tile's shuffle volume
+    at O(input_partitions x cap) rows instead of its full pre-cap count.
+    """
     if sample_key is None:
         sample_key = F.xxhash64("image_id", F.col("z"))
     sc = assigned.sparkSession.sparkContext
     if num_parts is None:
         num_parts = max(sc.defaultParallelism * 8, 16)
     staged = assigned.withColumn("_sk", sample_key)
+    if pre_cap and max_features_per_tile < (1 << 40):
+        cols = [*_STREAM_COLS, "_sk"]
+        staged = staged.select(*cols)
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in staged.schema.fields
+        )
+        staged = staged.mapInPandas(
+            _make_precap_stream(max_features_per_tile, cols), schema=schema
+        )
     part = staged.repartition(num_parts, "z", "x", "y").sortWithinPartitions(
         "z", "x", "y", "_sk", "image_id"
     )

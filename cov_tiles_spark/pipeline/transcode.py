@@ -376,19 +376,27 @@ def covt_to_mvt(
 
 
 def _canon_key(geom, props, fid):
-    """Order-insensitive feature key: id + geometry + sorted non-float
-    non-null properties. Floats are excluded (float32 round-trips shift
-    low digits, which would misalign the sort; they are still checked
-    pairwise after alignment) and values are normalized through str()
-    so numpy scalars key identically to Python ones."""
+    """Order-insensitive feature key: id + geometry + sorted properties.
+    Float values key through ``round(v, 2)`` — coarse enough to survive
+    float32 round-trip drift in the low digits, fine enough that two
+    features identical except for float properties align with their own
+    pair instead of being cross-paired by the stable sort (they are
+    still checked pairwise at full tolerance after alignment). Non-float
+    values normalize through str() so numpy scalars key identically to
+    Python ones."""
     gk = tuple(
         tuple((float(x), float(y)) for x, y in part) for part in geom
     )
     pk = tuple(
         sorted(
-            (k, str(v))
+            (
+                k,
+                f"f:{round(float(v), 2):.2f}"
+                if isinstance(v, (float, np.floating))
+                else str(v),
+            )
             for k, v in props.items()
-            if v is not None and not isinstance(v, (float, np.floating))
+            if v is not None
         )
     )
     return (fid is None, int(fid or 0), gk, pk)
