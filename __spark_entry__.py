@@ -849,6 +849,20 @@ def q_bpe_train(spark, sf_dir):
     return bpe_merges_df(d, "text", n_merges=40).orderBy("rank")
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Corpus tokenization with the learned BPE merges
+    (operators/bpe.py bpe_encode): greedy lowest-rank apply over the
+    DISTINCT-word table, token fan-out by equi-join, one hash-agg
+    rollup per doc. Oracle: sequential-replay tokenization reusing the
+    pure-python trainer's final word state (scripts/build_oracles.py) —
+    equal for trained merge tables (see _bpe_word_greedy docstring)."""
+    from cov_tiles_spark.operators.bpe import bpe_encode, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = [(l, r) for l, r, _ in bpe_train(d, "text", n_merges=40)]
+    return bpe_encode(d, merges, "text").orderBy("doc_id")
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup by md5(text) over documents + shifted copies (dedup #1)."""
     d = _t(spark, sf_dir, "documents")
@@ -1396,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile": q_profile,
         "q_profile_approx": q_profile_approx,
         "q_bpe_train": q_bpe_train,
+        "q_bpe_encode": q_bpe_encode,
         "q_token_counts": q_token_counts,
         "q_token_counts_bpe": q_token_counts_bpe,
         "q_lang_id": q_lang_id,
@@ -1792,6 +1807,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT "rank", "left", "right", freq
             FROM read_parquet('{_ORACLE_DIR}/q_bpe_train.parquet')
             ORDER BY "rank"
+        """,
+        "q_bpe_encode": f"""
+            SELECT doc_id, n_tokens, n_distinct_tokens
+            FROM read_parquet('{_ORACLE_DIR}/q_bpe_encode.parquet')
+            ORDER BY doc_id
         """,
         "q_dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,

@@ -136,6 +136,106 @@ def bpe_train(
     return merges
 
 
+def _bpe_word_greedy(word: str, ranks: dict) -> list[str]:
+    """Tokenize one word: repeatedly merge the lowest-rank adjacent
+    pair (GPT-2-style apply). Cost is independent of the merge-table
+    size — the property that matters when the table has 50k merges and
+    the vocabulary 1e8 words — unlike sequential replay, which scans
+    every word once per merge.
+
+    For a TRAINED table this equals sequential replay (the oracle's
+    semantics): when greedy reaches rank k no pair of rank < k remains
+    (it would have been chosen first), and merging rank k cannot create
+    a pair of rank j < k because merge j's parts both existed at
+    training step j while rank k's output symbol did not — pinned by
+    tests/test_bpe.py's hypothesis property."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best = (syms[i], syms[i + 1])
+        if best is None:
+            break
+        left, right = best
+        merged = left + right
+        res, i, n = [], 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                res.append(merged)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        syms = res
+    return syms
+
+
+def bpe_tokenize_words(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+) -> DataFrame:
+    """VOCABULARY-sized tokenization: adds ``tokens array<string>`` to a
+    distinct-word table. The merge table rides in the UDF closure (a
+    50k-merge table is ~1 MB — broadcast-scale); per-word work is the
+    greedy lowest-rank loop, so the stage is embarrassingly parallel
+    with no shuffle."""
+    ranks = {(l, r): i for i, (l, r) in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def tok(col: pd.Series) -> pd.Series:
+        return pd.Series([_bpe_word_greedy(w, ranks) for w in col])
+
+    return words.withColumn("tokens", tok(F.col(word_col)))
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus tokenization with a learned merge table →
+    (doc_id, n_tokens, n_distinct_tokens); docs with no words keep 0s.
+
+    100 TB shape: the expensive per-word merge loop runs once per
+    DISTINCT word (``bpe_tokenize_words`` over the word_counts-style
+    distinct table), then a plain equi-join fans tokens back onto the
+    exploded corpus — Catalyst/AQE broadcasts the vocab side when it
+    fits, and the final per-doc rollup is one hash aggregation."""
+    doc_words = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    vocab = bpe_tokenize_words(doc_words.select("word").distinct(), merges)
+    per_doc = (
+        doc_words.join(vocab, "word")
+        .select("doc_id", F.explode("tokens").alias("token"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("token").alias("n_distinct_tokens"),
+        )
+    )
+    return (
+        docs.select(F.col(doc_id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_distinct_tokens", F.lit(0)).alias(
+                "n_distinct_tokens"
+            ),
+        )
+    )
+
+
 def bpe_merges_df(
     docs: DataFrame,
     text_col: str = "text",

@@ -802,10 +802,13 @@ def q_dup_clusters(sf_dir: str) -> pd.DataFrame:
 
 # --------------------------------------------------- q_bpe_train (scalar)
 
-def q_bpe_train(sf_dir: str) -> pd.DataFrame:
+def _bpe_train_py(sf_dir: str):
     """Independent BPE trainer: plain dict/Counter loops over the
     distinct-word counts, 40 merges, ties (freq DESC, left ASC,
-    right ASC) — no Spark, no cov_tiles_spark imports."""
+    right ASC) — no Spark, no cov_tiles_spark imports. Returns
+    (merge rows, final per-word symbol state): the state after all
+    merges IS the sequential-replay tokenization of every corpus word,
+    which the encode oracle reuses directly."""
     from collections import Counter
 
     d = load(sf_dir, "documents")
@@ -842,9 +845,40 @@ def q_bpe_train(sf_dir: str) -> pd.DataFrame:
                     res.append(syms[i])
                     i += 1
             words[w] = (res, n)
+    return rows, words
+
+
+def q_bpe_train(sf_dir: str) -> pd.DataFrame:
+    rows, _ = _bpe_train_py(sf_dir)
     return pd.DataFrame(
         rows, columns=["rank", "left", "right", "freq"]
     ).astype({"rank": "int32", "freq": "int64"})
+
+
+def q_bpe_encode(sf_dir: str) -> pd.DataFrame:
+    """Corpus tokenization with the learned merges, by sequential
+    replay: the trainer's final per-word symbol state is exactly each
+    word's token sequence, so per-doc counts are a dict-lookup walk —
+    structurally nothing like the Spark side's greedy lowest-rank
+    apply + explode/join/rollup."""
+    _, words = _bpe_train_py(sf_dir)
+    d = load(sf_dir, "documents")
+    n_tok, n_dis = [], []
+    for t in d["text"]:
+        toks: list[str] = []
+        for w in str(t).lower().split():
+            toks.extend(words[w][0])
+        n_tok.append(len(toks))
+        n_dis.append(len(set(toks)))
+    return pd.DataFrame(
+        {
+            "doc_id": d["doc_id"].astype("int64"),
+            "n_tokens": n_tok,
+            "n_distinct_tokens": n_dis,
+        }
+    ).astype({"n_tokens": "int64", "n_distinct_tokens": "int64"}).sort_values(
+        "doc_id", ignore_index=True
+    )
 
 
 ORACLES = {
@@ -863,6 +897,7 @@ ORACLES = {
     "q_dup_clusters": q_dup_clusters,
     "q_decontaminate": q_decontaminate,
     "q_bpe_train": q_bpe_train,
+    "q_bpe_encode": q_bpe_encode,
 }
 
 
