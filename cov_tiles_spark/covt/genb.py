@@ -1076,10 +1076,19 @@ def _decode_property(
                 pos,
             )
         lengths, pos = decode_int_rle(b, nv_dict, pos, signed=False)
+        # one numpy slice for the whole dictionary region, then cheap
+        # python bytes slicing per word — a numpy slice + tobytes PER
+        # WORD paid the ~µs ndarray-view setup 4k times per omt tile
+        # (the CLAUDE.md per-small-item rule; measured on omt/5_16_20)
+        ends = np.cumsum(lengths.astype(np.int64)).tolist()
+        total = ends[-1] if ends else 0
+        blob = b[pos : pos + total].tobytes()
+        pos += total
         words: list[str] = []
-        for ln in lengths.astype(np.int64):
-            words.append(b[pos : pos + int(ln)].tobytes().decode("utf-8"))
-            pos += int(ln)
+        s = 0
+        for e in ends:
+            words.append(blob[s:e].decode("utf-8"))
+            s = e
         return (
             PropertyColumn(
                 data_type=ColumnDataType.STRING,

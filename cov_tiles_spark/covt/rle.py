@@ -73,7 +73,10 @@ def decode_int_rle(
                     shift += 7
                 if signed:
                     first = (first >> 1) ^ -(first & 1)
-                vals.extend(first + i * d for i in range(h + 3))
+                if d == 0:  # constant run: skip the generator protocol
+                    vals.extend([first] * (h + 3))
+                else:
+                    vals.extend(first + i * d for i in range(h + 3))
             else:
                 for _ in range(256 - h):
                     b = hdr[offset]

@@ -74,7 +74,18 @@ def main() -> None:
         "spec-built MVT reader), mirroring the reference's same-runtime "
         "comparison (their TS COVT decoder vs mapbox's TS MVT decoder). "
         "The gen-B tile is our transcode of the same MVT (no golden gen-B "
-        "binaries exist in the reference).\n"
+        "binaries exist in the reference).\n\n"
+        "Round-4 note on the former z5 gen-B gap (was 32.3 vs gen-A 41.3 "
+        "ops/s): profiling showed 52% of decode in per-property stream "
+        "work — a numpy slice + tobytes PER DICTIONARY WORD (~4.2k "
+        "words/tile across the localized name:* columns) and the "
+        "generator protocol on constant RLE runs. One blob extraction + "
+        "python bytes slicing and a [v]*n constant-run path closed it: "
+        "gen-B now decodes at parity on z5 (within the sandbox's "
+        "run-to-run noise) and ~1.7x gen-A on z4; the residual z5 "
+        "difference is the pfor bit-gather on the 35k-vertex "
+        "transportation streams vs gen-A's plain varint-delta — the "
+        "size-for-gather tradeoff gen-B buys deliberately.\n"
     )
     out = "\n".join(lines)
     _replace_section("BENCH/BASELINE.md", _HEADER, out)
