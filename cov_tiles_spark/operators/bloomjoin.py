@@ -59,12 +59,40 @@ def _positions(key: F.Column, num_bits: int, num_hashes: int) -> list[F.Column]:
     ]
 
 
+_BLOCK_BITS = 512  # one 64-byte cache line
+
+
+def _positions_blocked(
+    key: F.Column, num_bits: int, num_hashes: int
+) -> list[F.Column]:
+    """Register-blocked variant (Putze/Sanders/Singler cache-efficient
+    Bloom filters, public design): one hash selects a 512-bit block,
+    the k probe bits all land inside it. A probe touches ONE cache line
+    instead of k random ones — the property that keeps billion-key
+    probes memory-bandwidth-cheap on the executor — at a documented
+    ~1.5-2x theoretical-fpp penalty from block-occupancy variance
+    (pinned by tests/test_bloomjoin.py). Positions derive from the TOP
+    hash bits, same as :func:`_positions` (low bits mis-distribute)."""
+    nblocks = num_bits // _BLOCK_BITS
+    block_shift = 31 - (int(nblocks).bit_length() - 1)  # nblocks = 2^b
+    base = (
+        F.shiftright(sample_hash(key, seed=999), block_shift)
+        * F.lit(_BLOCK_BITS)
+    )
+    inner_shift = 31 - 9  # 512 = 2^9 in-block positions
+    return [
+        base + F.shiftright(sample_hash(key, seed=1_000 + i), inner_shift)
+        for i in range(num_hashes)
+    ]
+
+
 def build_bloom(
     df: DataFrame,
     key_col: str,
     num_bits: int,
     num_hashes: int,
     merge_parallelism: int = 64,
+    blocked: bool = False,
 ) -> bytes:
     """Packed little-endian bitmap with every key's k bits set.
 
@@ -76,9 +104,12 @@ def build_bloom(
     count (the aggregation is map-side combined either way)."""
     if num_bits <= 0 or num_bits & (num_bits - 1):
         raise ValueError(f"num_bits must be a power of two, got {num_bits}")
+    if blocked and num_bits < _BLOCK_BITS:
+        raise ValueError(f"blocked filters need >= {_BLOCK_BITS} bits")
+    pos_fn = _positions_blocked if blocked else _positions
     pos = df.select(
         F.explode(
-            F.array(*_positions(F.col(key_col), num_bits, num_hashes))
+            F.array(*pos_fn(F.col(key_col), num_bits, num_hashes))
         ).alias("p")
     )
     words = (
@@ -108,13 +139,15 @@ def bloom_filter_rows(
     bloom: bytes,
     num_bits: int,
     num_hashes: int,
+    blocked: bool = False,
 ) -> DataFrame:
     """Keep rows whose key *may* be in the filter (no false negatives)."""
     if num_bits <= 0 or num_bits & (num_bits - 1):
         raise ValueError(f"num_bits must be a power of two, got {num_bits}")
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(np.frombuffer(bloom, dtype=np.uint8))
-    pos_cols = _positions(F.col(key_col), num_bits, num_hashes)
+    pos_fn = _positions_blocked if blocked else _positions
+    pos_cols = pos_fn(F.col(key_col), num_bits, num_hashes)
     staged = df.withColumn("_bpos", F.array(*pos_cols))
 
     @F.pandas_udf("boolean")
@@ -139,6 +172,7 @@ def bloom_semi_join(
     bits_per_key: int = 10,
     num_hashes: int | None = None,
     merge_parallelism: int = 64,
+    blocked: bool = False,
 ) -> DataFrame:
     """Exact ``big SEMI JOIN small ON key`` with map-side Bloom pruning.
 
@@ -164,7 +198,10 @@ def bloom_semi_join(
             num_bits, want_bits, n, bits_per_key, eff_fpp,
         )
     bloom = build_bloom(
-        small, key, num_bits, num_hashes, merge_parallelism=merge_parallelism
+        small, key, num_bits, num_hashes,
+        merge_parallelism=merge_parallelism, blocked=blocked,
     )
-    pruned = bloom_filter_rows(big, key, bloom, num_bits, num_hashes)
+    pruned = bloom_filter_rows(
+        big, key, bloom, num_bits, num_hashes, blocked=blocked
+    )
     return pruned.join(small.select(key).distinct(), key, "left_semi")
