@@ -125,3 +125,65 @@ def test_ivf_pq_composition(corpus, spark):
     ]
     # the query's own cluster survives both the IVF probe and PQ ranking
     assert len(set(cand) & set(range(80, 120))) >= 36
+
+
+def test_ann_recall_monotone_in_nprobe_and_shortlist(spark):
+    """The operating-point curves (scripts/ann_recall.py) rest on two
+    monotonicity guarantees; pin both on the sf0.001 embeddings:
+    - IVF with exact in-list re-rank: recall@10 is non-decreasing in
+      nprobe (an exact-top-10 member inside the probed set always
+      survives the re-rank) and exactly 1.0 at nprobe = n_lists.
+    - PQ ADC shortlist + exact re-rank: for fixed codes the ADC order
+      is fixed (deterministic id tie-break), so a larger shortlist is a
+      superset and re-rank recall is non-decreasing."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from cov_tiles_spark.operators.similarity import (
+        cosine_topk, ivf_topk, ivf_train_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    queries = [
+        list(r.embedding) for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    nlist, k = 8, 10
+    exact = [
+        {r.id for r in cosine_topk(emb, "embedding", "vec_id", q, k).collect()}
+        for q in queries
+    ]
+    cents = ivf_train_centroids(emb, "embedding", "vec_id", DIM, nlist)
+    prev = -1.0
+    for nprobe in (1, 2, 4, nlist):
+        rec = 0.0
+        for qi, q in enumerate(queries):
+            got = {
+                r.id
+                for r in ivf_topk(
+                    emb, "embedding", "vec_id", q, k, cents, nprobe=nprobe
+                ).collect()
+            }
+            rec += len(got & exact[qi])
+        rec /= k * len(queries)
+        assert rec >= prev - 1e-12, (nprobe, rec, prev)
+        prev = rec
+    assert prev == 1.0  # all lists probed == exact
+
+    cb = pq_train(emb, "embedding", "vec_id", DIM, m=8, nbits=4)
+    enc = pq_encode(emb, "embedding", cb).cache()
+    q = queries[0]
+    prev = -1.0
+    for shortlist in (20, 60, 200):
+        adc = pq_topk(enc, "vec_id", q, shortlist, cb).collect()
+        cand = [r.id for r in adc]
+        rr = {
+            r.id
+            for r in cosine_topk(
+                emb.filter(F.col("vec_id").isin(cand)),
+                "embedding", "vec_id", q, k,
+            ).collect()
+        }
+        rec = len(rr & exact[0]) / k
+        assert rec >= prev - 1e-12, (shortlist, rec, prev)
+        prev = rec
