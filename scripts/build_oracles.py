@@ -238,10 +238,14 @@ def q_simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     ids = corpus["doc_id"].to_numpy(np.int64)
     sh = np.array([simhash_scalar(t) for t in corpus["text"]], dtype=np.int64)
     x = sh.view(np.uint64)
+    # still the brute-force all-pairs definition — only the popcount is
+    # a byte-table lookup instead of bin(int(v)).count('1'), which made
+    # the row loop O(n^2) *python-string* work (hours at the sf1 corpus)
+    pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
     out = []
     for i in range(len(ids)):
         d = np.bitwise_xor(x[i], x[i + 1 :])
-        ham = np.array([bin(int(v)).count("1") for v in d])
+        ham = pop8[d.view(np.uint8).reshape(-1, 8)].sum(axis=1)
         for j in np.flatnonzero(ham <= max_hamming):
             pa, pb = int(ids[i]), int(ids[i + 1 + j])
             if pa == pb:
