@@ -608,6 +608,15 @@ def _events_images(spark, sf_dir):
     )
 
 
+# Non-binding per-tile cap for the tile GATE queries: the gate contract
+# is the provably-exact setting (CLAUDE.md: approximate/capped operators
+# must scale their bounds with |corpus| — the sf1 run caught the 20k
+# default binding on z2 tiles and silently dropping 23% of rows vs the
+# uncapped SQL twin). Cap *behavior* is pinned by pytest
+# (test_cap_bounds_groups, test_precap_*) and the hotspot-skew smoke.
+_GATE_CAP = 1 << 41
+
+
 def q_tile_encode(spark, sf_dir):
     """Flagship: events-derived points -> COVT tile payloads at z2/z4/z6
     (single hash(z,x,y) exchange + sorted-stream mapInPandas encode; §3.1
@@ -619,7 +628,10 @@ def q_tile_encode(spark, sf_dir):
     from cov_tiles_spark.pipeline.materialize import decode_tiles, materialize_tiles
 
     imgs = _events_images(spark, sf_dir)
-    tiles = materialize_tiles(imgs, [2, 4, 6], with_mvt_baseline=False)
+    tiles = materialize_tiles(
+        imgs, [2, 4, 6], with_mvt_baseline=False,
+        max_features_per_tile=_GATE_CAP,
+    )
     # NOTE: measured A/B at sf0.1 — a .persist() before this global sort
     # costs 14-53s (cache population contends with execution memory for
     # the UDF stages) while the plain sort chain runs in ~10s (the range
@@ -639,7 +651,9 @@ def q_tile_pyramid(spark, sf_dir):
     from cov_tiles_spark.pipeline.pyramid import materialize_pyramid
 
     imgs = _events_images(spark, sf_dir)
-    tiles = materialize_pyramid(imgs, 2, 6, with_mvt_baseline=False)
+    tiles = materialize_pyramid(
+        imgs, 2, 6, with_mvt_baseline=False, max_features_per_tile=_GATE_CAP
+    )
     return decode_tiles(tiles).orderBy("z", "x", "y", "feature_id")
 
 
@@ -659,8 +673,10 @@ def q_delta_tiles(spark, sf_dir):
     lake = IcebergLite(spark, tempfile.mkdtemp(prefix="delta_gate_"))
     imgs = _events_images(spark, sf_dir)
     half = imgs.filter(F.substring("image_id", 16, 1).isin("0", "2", "4", "6", "8"))
-    delta_materialize(lake, half, [2, 4, 6], partition_buckets=32)
-    stats = delta_materialize(lake, imgs, [2, 4, 6], partition_buckets=32)
+    delta_materialize(lake, half, [2, 4, 6], partition_buckets=32,
+                      max_features_per_tile=_GATE_CAP)
+    stats = delta_materialize(lake, imgs, [2, 4, 6], partition_buckets=32,
+                              max_features_per_tile=_GATE_CAP)
     assert stats["changed"] > 0, "second corpus must touch tiles"
     tiles = lake.read_table("tiles", latest_only=True).drop("tile_key")
     return decode_tiles(tiles).orderBy("z", "x", "y", "feature_id")
@@ -681,7 +697,8 @@ def q_overzoom(spark, sf_dir):
 
     imgs = _events_images(spark, sf_dir)
     parents = encode_assigned(
-        assign_tiles(imgs, [4]), with_mvt_baseline=False
+        assign_tiles(imgs, [4]), with_mvt_baseline=False,
+        max_features_per_tile=_GATE_CAP,
     )
     kids = overzoom_tiles(parents)
 
@@ -719,7 +736,10 @@ def q_tile_export_mvt(spark, sf_dir):
     )
 
     imgs = _events_images(spark, sf_dir)
-    tiles = materialize_tiles(imgs, [2, 4, 6], with_mvt_baseline=False)
+    tiles = materialize_tiles(
+        imgs, [2, 4, 6], with_mvt_baseline=False,
+        max_features_per_tile=_GATE_CAP,
+    )
     return decode_tiles_via_mvt(tiles).orderBy("z", "x", "y", "feature_id")
 
 
@@ -732,7 +752,8 @@ def q_tile_encode_genb(spark, sf_dir):
 
     imgs = _events_images(spark, sf_dir)
     tiles = materialize_tiles(
-        imgs, [2, 4, 6], with_mvt_baseline=False, wire_format="genb"
+        imgs, [2, 4, 6], with_mvt_baseline=False, wire_format="genb",
+        max_features_per_tile=_GATE_CAP,
     )
     return decode_tiles(tiles, wire_format="genb").orderBy(
         "z", "x", "y", "feature_id"
