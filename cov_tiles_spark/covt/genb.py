@@ -35,12 +35,16 @@ bytes implicitly. Property columns are grouped boolean → long → float →
 string-dictionary, column ids 2.. (`CovtConverter.java:346-356`).
 
 FAST_PFOR_DELTA_ZIG_ZAG streams use our from-scratch patched-FOR codec
-(`covt/pfor.py`); see its docstring for the byte-interop caveat with
-me.lemire's external JavaFastPFOR library.
+(`covt/pfor.py`) by default; pass ``pfor_wire="java"`` to
+encode/decode the streams in JavaFastPFOR's actual
+``Composition(FastPFOR, VariableByte)`` wire (`covt/pfor_java.py`) —
+the layout the reference's Java converter emits — for byte-level
+interop with library-produced tiles.
 """
 
 from __future__ import annotations
 
+from contextvars import ContextVar
 from enum import IntEnum
 
 import numpy as np
@@ -56,6 +60,11 @@ from cov_tiles_spark.covt.metadata import (
 )
 from cov_tiles_spark.covt.metadata import ColumnEncoding as GenAEncoding
 from cov_tiles_spark.covt.pfor import decode_pfor, encode_pfor
+from cov_tiles_spark.covt.pfor_java import (
+    decode_fastpfor_java,
+    encode_fastpfor_java,
+)
+
 from cov_tiles_spark.covt.rle import (
     decode_byte_rle,
     decode_int_rle,
@@ -72,6 +81,33 @@ from cov_tiles_spark.covt.varint import (
 )
 
 VERSION = 1
+
+# FAST_PFOR wire format for this tile: "ours" = covt/pfor.py's container
+# (the repo's in-format default, pinned by the golden fixtures); "java" =
+# JavaFastPFOR's Composition(FastPFOR, VariableByte) word layout
+# (covt/pfor_java.py) as emitted by the reference's Java converter
+# (`EncodingUtils.java:149-188`) — pass pfor_wire="java" to
+# encode/decode tiles interoperable with library-produced streams. A
+# ContextVar (not a plain global) so concurrent encodes in one process
+# cannot leak each other's wire choice.
+_PFOR_WIRE: ContextVar[str] = ContextVar("genb_pfor_wire", default="ours")
+
+
+def _pfor_enc(vals: np.ndarray, zigzag: bool, delta: bool) -> bytes:
+    if _PFOR_WIRE.get() == "java":
+        return encode_fastpfor_java(vals, zigzag=zigzag, delta=delta)
+    return encode_pfor(vals, zigzag=zigzag, delta=delta)
+
+
+def _pfor_dec(
+    buf: np.ndarray, n: int, offset: int, byte_length: int,
+    zigzag: bool, delta: bool,
+) -> np.ndarray:
+    if _PFOR_WIRE.get() == "java":
+        return decode_fastpfor_java(
+            buf, n, byte_length, offset, zigzag=zigzag, delta=delta
+        )[0]
+    return decode_pfor(buf, n, offset, zigzag=zigzag, delta=delta)[0]
 
 
 class StreamType(IntEnum):
@@ -159,7 +195,7 @@ def _best_offsets(vals: np.ndarray, allow_pfor: bool) -> tuple[StreamEncoding, b
     rle = encode_int_rle(vals, signed=False)
     if not allow_pfor:
         return StreamEncoding.RLE, rle
-    pfor = encode_pfor(vals, zigzag=True, delta=True)
+    pfor = _pfor_enc(vals, zigzag=True, delta=True)
     if len(pfor) <= len(rle):
         return StreamEncoding.FAST_PFOR_DELTA_ZIG_ZAG, pfor
     return StreamEncoding.RLE, rle
@@ -191,7 +227,7 @@ def _best_vertex_buffer(vb: np.ndarray, allow_pfor: bool) -> tuple[StreamEncodin
     var = encode_varints(zz)
     if not allow_pfor:
         return StreamEncoding.VARINT_DELTA_ZIG_ZAG, var
-    pfor = encode_pfor(zz.astype(np.int64), zigzag=False, delta=False)
+    pfor = _pfor_enc(zz.astype(np.int64), zigzag=False, delta=False)
     if len(pfor) <= len(var):
         return StreamEncoding.FAST_PFOR_DELTA_ZIG_ZAG, pfor
     return StreamEncoding.VARINT_DELTA_ZIG_ZAG, var
@@ -387,7 +423,7 @@ def _encode_geometry(
     offs = inverse.astype(np.int64)
     var_offs = encode_varints(zigzag_encode(np.diff(offs, prepend=np.int64(0))))
     if allow_pfor_topology:
-        pfor_offs = encode_pfor(offs, zigzag=True, delta=True)
+        pfor_offs = _pfor_enc(offs, zigzag=True, delta=True)
         if len(pfor_offs) < len(var_offs):
             off_enc, off_bytes = StreamEncoding.FAST_PFOR_DELTA_ZIG_ZAG, pfor_offs
         else:
@@ -403,7 +439,7 @@ def _encode_geometry(
         deltas = np.diff(codes, prepend=np.int64(0))
         var_dict = encode_varints(deltas.astype(np.uint64))
         if allow_pfor_vertex:
-            pfor_dict = encode_pfor(deltas, zigzag=False, delta=False)
+            pfor_dict = _pfor_enc(deltas, zigzag=False, delta=False)
             if len(pfor_dict) < len(var_dict):
                 streams.append(
                     (StreamType.VERTEX_BUFFER, StreamEncoding.FAST_PFOR_DELTA_ZIG_ZAG,
@@ -448,8 +484,14 @@ def encode_tile_genb(
     allow_pfor_vertex: bool = True,
     layer_table: dict | None = None,
     allow_tae: bool = False,
+    pfor_wire: str = "ours",
 ) -> tuple[bytes, dict]:
     """Encode a gen-B tile; returns (payload, TileJSON sidecar dict).
+
+    ``pfor_wire="java"`` emits FAST_PFOR streams in JavaFastPFOR's
+    ``Composition(FastPFOR, VariableByte)`` wire (covt/pfor_java.py) —
+    the layout the reference's Java converter produces — instead of our
+    in-format container; tile structure is otherwise identical.
 
     ``allow_tae=True`` lets ``geometry_encoding="best"`` also consider
     the TAE arc column (GColumnType.TAE — OUR extension beyond the
@@ -467,6 +509,25 @@ def encode_tile_genb(
     tileset). Column ids are read per column on decode, so a tile that
     lacks some global fields stays valid.
     """
+    token = _PFOR_WIRE.set(pfor_wire)
+    try:
+        return _encode_tile_genb_locked(
+            layers, optimize_metadata, geometry_encoding,
+            allow_pfor_topology, allow_pfor_vertex, layer_table, allow_tae,
+        )
+    finally:
+        _PFOR_WIRE.reset(token)
+
+
+def _encode_tile_genb_locked(
+    layers: list[LayerInput],
+    optimize_metadata: bool,
+    geometry_encoding: str,
+    allow_pfor_topology: bool,
+    allow_pfor_vertex: bool,
+    layer_table: dict | None,
+    allow_tae: bool,
+) -> tuple[bytes, dict]:
     out: list[bytes] = []
     vector_layers: list[dict] = []
     for tile_layer_idx, layer in enumerate(layers):
@@ -720,13 +781,30 @@ def _decode_stream_ints(
         vals, offset = decode_int_rle(buf, n, offset, signed=signed_rle)
         return vals.astype(np.int64), offset
     if enc == StreamEncoding.FAST_PFOR_DELTA_ZIG_ZAG:
-        vals, end = decode_pfor(buf, n, offset, zigzag=True, delta=True)
+        vals = _pfor_dec(buf, n, offset, byte_length, zigzag=True, delta=True)
         return vals, offset + byte_length  # parser advances by byteLength (:345)
     raise ValueError(f"unsupported topology stream encoding {enc}")
 
 
-def decode_tile_genb(buf: bytes, tilejson: dict | None = None) -> dict[str, LayerData]:
-    """Decode a gen-B tile (`CovtParser.java:53-133` flow)."""
+def decode_tile_genb(
+    buf: bytes, tilejson: dict | None = None, pfor_wire: str = "ours"
+) -> dict[str, LayerData]:
+    """Decode a gen-B tile (`CovtParser.java:53-133` flow).
+
+    ``pfor_wire="java"`` reads FAST_PFOR streams in JavaFastPFOR's wire
+    (what the reference's Java converter emits); default is our
+    in-format container. The stream metadata does not self-describe the
+    wire, so the caller states which producer wrote the tile."""
+    token = _PFOR_WIRE.set(pfor_wire)
+    try:
+        return _decode_tile_genb_locked(buf, tilejson)
+    finally:
+        _PFOR_WIRE.reset(token)
+
+
+def _decode_tile_genb_locked(
+    buf: bytes, tilejson: dict | None = None
+) -> dict[str, LayerData]:
     b = np.frombuffer(buf, dtype=np.uint8)
     pos = 0
     layers: dict[str, LayerData] = {}
@@ -886,7 +964,7 @@ def _decode_geometry_tae(
             if senc == StreamEncoding.VARINT_DELTA_ZIG_ZAG:
                 deltas, pos = decode_zigzag_varints(b, nv * 2, pos)
             elif senc == StreamEncoding.FAST_PFOR_DELTA_ZIG_ZAG:
-                zz, _ = decode_pfor(b, nv * 2, pos, zigzag=False, delta=False)
+                zz = _pfor_dec(b, nv * 2, pos, bl, zigzag=False, delta=False)
                 deltas = zigzag_decode(zz.astype(np.uint64))
                 pos += bl
             else:
@@ -954,7 +1032,7 @@ def _decode_geometry(
                 deltas, pos = decode_zigzag_varints(b, nv, pos)
                 vertex_offsets = np.cumsum(deltas, dtype=np.int64)
             elif senc == StreamEncoding.FAST_PFOR_DELTA_ZIG_ZAG:
-                vertex_offsets, end = decode_pfor(b, nv, pos, zigzag=True, delta=True)
+                vertex_offsets = _pfor_dec(b, nv, pos, bl, zigzag=True, delta=True)
                 pos += bl
             else:
                 raise ValueError(f"unsupported vertex_offsets encoding {senc}")
@@ -965,7 +1043,7 @@ def _decode_geometry(
                     deltas, pos = decode_varints(b, nv, pos)
                     codes = np.cumsum(deltas.astype(np.int64), dtype=np.int64)
                 elif senc == StreamEncoding.FAST_PFOR_DELTA_ZIG_ZAG:
-                    deltas, _ = decode_pfor(b, nv, pos, zigzag=False, delta=False)
+                    deltas = _pfor_dec(b, nv, pos, bl, zigzag=False, delta=False)
                     codes = np.cumsum(deltas, dtype=np.int64)
                     pos += bl
                 else:
@@ -978,7 +1056,7 @@ def _decode_geometry(
                 if senc == StreamEncoding.VARINT_DELTA_ZIG_ZAG:
                     deltas, pos = decode_zigzag_varints(b, nv * 2, pos)
                 elif senc == StreamEncoding.FAST_PFOR_DELTA_ZIG_ZAG:
-                    zz, _ = decode_pfor(b, nv * 2, pos, zigzag=False, delta=False)
+                    zz = _pfor_dec(b, nv * 2, pos, bl, zigzag=False, delta=False)
                     from cov_tiles_spark.covt.varint import zigzag_decode
 
                     deltas = zigzag_decode(zz.astype(np.uint64))

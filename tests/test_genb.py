@@ -14,7 +14,7 @@ import pytest
 
 from cov_tiles_spark.covt.decoder import GeometryColumn
 from cov_tiles_spark.covt.encoder import LayerInput, PropertyInput
-from cov_tiles_spark.covt.genb import decode_tile_genb, encode_tile_genb
+from cov_tiles_spark.covt.genb import StreamEncoding, decode_tile_genb, encode_tile_genb
 from cov_tiles_spark.covt.metadata import ColumnDataType, GeometryType
 from cov_tiles_spark.covt.pfor import decode_pfor, encode_pfor
 
@@ -276,3 +276,55 @@ def test_genb_tileset_shared_tilejson():
     for p, payload, mvt in zip(paths, payloads, tiles):
         decoded = decode_tile_genb(payload, tilejson)
         assert _features_match(decoded, decode_mvt(mvt)), p
+
+
+@pytest.mark.parametrize("genc", ["plain", "ice", "ice_morton"])
+def test_genb_java_pfor_wire_roundtrip(genc):
+    """pfor_wire="java" round-trips every geometry mode and actually
+    engages: with the size-gate bypassed by a line layer big enough to
+    pick FAST_PFOR, the java-wire payload differs byte-wise from the
+    default wire while decoding to the identical layers."""
+    layers = [_mixed_layer(300), _line_layer(), _poly_layer()]
+    ours, tj = encode_tile_genb(layers, geometry_encoding=genc)
+    java, tj2 = encode_tile_genb(layers, geometry_encoding=genc, pfor_wire="java")
+    assert tj == tj2
+    decoded = decode_tile_genb(java, tj, pfor_wire="java")
+    for layer in layers:
+        _assert_layer_roundtrip(layer, decoded)
+    # cross-wire decode of a FAST_PFOR-bearing tile must not silently
+    # succeed-with-garbage: when the wires produced different payloads,
+    # decoding the java tile as "ours" must either raise or mis-decode
+    if java != ours:
+        try:
+            wrong = decode_tile_genb(java, tj)
+            assert any(
+                not np.array_equal(
+                    wrong[k].geometry.vertex_buffer, decoded[k].geometry.vertex_buffer
+                )
+                for k in decoded
+            )
+        except (ValueError, IndexError):
+            pass
+
+
+def test_genb_java_wire_uses_fastpfor_streams():
+    """The java wire is live on the stream level: a topology stream
+    whose values make FAST_PFOR win must carry JavaFastPFOR words
+    (decode them directly with covt/pfor_java.py)."""
+    from cov_tiles_spark.covt.pfor_java import decode_fastpfor_java
+
+    rng = np.random.default_rng(11)
+    vals = np.sort(rng.integers(0, 5000, 4000))
+    from cov_tiles_spark.covt.genb import _PFOR_WIRE, _best_offsets
+
+    token = _PFOR_WIRE.set("java")
+    try:
+        enc, data = _best_offsets(vals.astype(np.int64), True)
+    finally:
+        _PFOR_WIRE.reset(token)
+    assert enc == StreamEncoding.FAST_PFOR_DELTA_ZIG_ZAG
+    got, _ = decode_fastpfor_java(
+        np.frombuffer(data, np.uint8), len(vals), len(data),
+        zigzag=True, delta=True,
+    )
+    np.testing.assert_array_equal(got, vals)
