@@ -941,6 +941,17 @@ def q_quality(spark, sf_dir):
     return d.select("doc_id", quality_score(F.col("text")).alias("quality")).orderBy("doc_id")
 
 
+def q_repetition(spark, sf_dir):
+    """Intra-document repetition quality signals (Gopher/C4-family):
+    duplicate word / 2-gram / 5-gram fractions. Map-only plan — split +
+    array lambdas + array_distinct, zero shuffles (operators/text.py
+    ``repetition_stats``)."""
+    from cov_tiles_spark.operators.text import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d).orderBy("doc_id")
+
+
 def q_minhash_dedup(spark, sf_dir):
     """MinHash+LSH near-dup pairs on documents + planted exact copies
     (dedup #2; pandas-UDF signatures -> rows-only driver check, exactness
@@ -1436,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_counts_bpe": q_token_counts_bpe,
         "q_lang_id": q_lang_id,
         "q_quality": q_quality,
+        "q_repetition": q_repetition,
         "q_minhash_dedup": q_minhash_dedup,
         "q_decontaminate": q_decontaminate,
         "q_dup_clusters": q_dup_clusters,
@@ -1849,6 +1861,37 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "q_lang_id": _lang_id_sql(),
+        "q_repetition": """
+            WITH base AS (
+              SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id, ws, len(ws) AS n,
+                CASE WHEN len(ws) >= 2 THEN
+                  list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                ELSE []::VARCHAR[] END AS g2,
+                CASE WHEN len(ws) >= 5 THEN
+                  list_transform(range(1, len(ws) - 3), i ->
+                    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                    ws[i+3] || ' ' || ws[i+4])
+                ELSE []::VARCHAR[] END AS g5
+              FROM base
+            )
+            SELECT doc_id,
+              cast(n AS bigint) AS n_words,
+              round(CASE WHEN n > 0
+                    THEN 1.0 - len(list_distinct(ws)) * 1.0 / n
+                    ELSE 0.0 END, 6) AS dup_word_frac,
+              round(CASE WHEN len(g2) > 0
+                    THEN 1.0 - len(list_distinct(g2)) * 1.0 / len(g2)
+                    ELSE 0.0 END, 6) AS dup_2gram_frac,
+              round(CASE WHEN len(g5) > 0
+                    THEN 1.0 - len(list_distinct(g5)) * 1.0 / len(g5)
+                    ELSE 0.0 END, 6) AS dup_5gram_frac
+            FROM g ORDER BY doc_id
+        """,
         "q_quality": """
             SELECT doc_id,
               round(

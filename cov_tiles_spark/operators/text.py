@@ -139,3 +139,59 @@ def fingerprint64(texts: pd.Series) -> pd.Series:
             np.cumprod(np.full(n - 1, base, dtype=np.uint64), out=pows[1:])
             out[i] = int((b * pows[::-1]).sum(dtype=np.uint64).view(np.int64))
     return pd.Series(out)
+
+
+def _word_ngrams(words: Column, n: Column, k: int) -> Column:
+    """Array of word k-grams (space-joined), empty when n < k.
+
+    Built with JVM array lambdas — the guard matters: Spark's
+    ``sequence(1, n-k+1)`` DESCENDS when the stop is below the start,
+    which would fabricate grams for short docs."""
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + F.lit(j)) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _dup_frac(arr: Column) -> Column:
+    """1 - |distinct| / |all|, 0.0 for an empty array; rounded 6dp."""
+    sz = F.size(arr)
+    return F.round(
+        F.when(
+            sz > 0,
+            F.lit(1.0) - F.size(F.array_distinct(arr)).cast("double") / sz,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition signals (Gopher/C4-family quality
+    filters): duplicate word / 2-gram / 5-gram fractions per document.
+
+    Entirely map-side — ``split`` + array lambdas + ``array_distinct``
+    per row, ZERO shuffles — so at 100 TB this is a pure scan the
+    optimizer pipelines into whatever consumes it. (The groupBy-explode
+    formulation computes the same numbers with two corpus-scale
+    shuffles; per-document state is bounded by doc length, so the
+    array form is strictly better here.)"""
+    t = F.trim(F.col(text_col))
+    words = F.split(t, r"\s+")
+    n = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(words))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        _dup_frac(F.when(n > 0, words).otherwise(
+            F.array().cast("array<string>")
+        )).alias("dup_word_frac"),
+        _dup_frac(_word_ngrams(words, n, 2)).alias("dup_2gram_frac"),
+        _dup_frac(_word_ngrams(words, n, 5)).alias("dup_5gram_frac"),
+    )

@@ -408,3 +408,42 @@ class TestSampling:
         # allow wide tolerance but rule out rotation (overlap ~= 1)
         overlap = len(a & b) / max(len(a), 1)
         assert overlap < 0.6, overlap
+
+
+def test_repetition_stats_hand_fractions(spark):
+    """Gopher/C4-style repetition fractions against hand-computed
+    values, incl. the short-doc guards (n < k grams, empty text)."""
+    from cov_tiles_spark.operators.text import repetition_stats
+
+    rows = [
+        (0, "a a b"),            # 3 words, 2 distinct; 2-grams {a a, a b}
+        (1, "a a a a a a"),      # 6 words 1 distinct; 5 2-grams 1 distinct
+        (2, "x"),                # single word: no 2-grams, no 5-grams
+        (3, ""),                 # empty: everything 0
+        (4, "p q r s t p q r s t"),  # 10 words, 5 distinct; 6 5-grams, 5 distinct
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[0].n_words == 3
+    assert got[0].dup_word_frac == round(1 - 2 / 3, 6)
+    assert got[0].dup_2gram_frac == 0.0
+    assert got[0].dup_5gram_frac == 0.0
+    assert got[1].dup_word_frac == round(1 - 1 / 6, 6)
+    assert got[1].dup_2gram_frac == round(1 - 1 / 5, 6)
+    assert got[1].dup_5gram_frac == 0.5  # 2 grams, 1 distinct
+    assert got[2].n_words == 1 and got[2].dup_2gram_frac == 0.0
+    assert got[3].n_words == 0 and got[3].dup_word_frac == 0.0
+    assert got[4].n_words == 10
+    assert got[4].dup_word_frac == 0.5
+    assert got[4].dup_5gram_frac == round(1 - 5 / 6, 6)
+
+
+def test_repetition_stats_plan_is_map_only(spark):
+    """The operator's 100 TB contract: a pure scan — the physical plan
+    must contain NO Exchange (no shuffle) and no Python evaluation."""
+    from cov_tiles_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
