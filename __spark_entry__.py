@@ -941,6 +941,24 @@ def q_quality(spark, sf_dir):
     return d.select("doc_id", quality_score(F.col("text")).alias("quality")).orderBy("doc_id")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style cluster-then-prune semantic dedup over the
+    embeddings table: spherical k-means (8 clusters, deterministic
+    id-ordered training sample), map-only assign, one list_id shuffle
+    into the per-cluster blocked-cosine prune. Oracle = independent
+    numpy twin parquet (scripts/build_oracles.py)."""
+    from cov_tiles_spark.operators.semdedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionAll(planted)
+    return semantic_dedup(
+        corpus, "embedding", "vec_id", dim=64, n_centroids=8, threshold=0.95
+    ).select(
+        F.col("id").alias("vec_id"), "list_id", "is_kept"
+    ).orderBy("vec_id")
+
+
 def q_repetition(spark, sf_dir):
     """Intra-document repetition quality signals (Gopher/C4-family):
     duplicate word / 2-gram / 5-gram fractions. Map-only plan — split +
@@ -1448,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_quality": q_quality,
         "q_repetition": q_repetition,
+        "q_semantic_dedup": q_semantic_dedup,
         "q_minhash_dedup": q_minhash_dedup,
         "q_decontaminate": q_decontaminate,
         "q_dup_clusters": q_dup_clusters,
@@ -1993,6 +2012,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, fp
             FROM read_parquet('{_ORACLE_DIR}/q_doc_fingerprint.parquet')
             ORDER BY doc_id
+        """,
+        "q_semantic_dedup": f"""
+            SELECT vec_id, list_id, is_kept
+            FROM read_parquet('{_ORACLE_DIR}/q_semantic_dedup.parquet')
+            ORDER BY vec_id
         """,
         "q_minhash_dedup": f"""
             SELECT id_a, id_b, jaccard_est

@@ -908,6 +908,62 @@ def q_bpe_encode(sf_dir: str) -> pd.DataFrame:
     )
 
 
+
+def q_semantic_dedup(
+    sf_dir: str, k: int = 8, iters: int = 10, threshold: float = 0.95,
+    block: int = 4096,
+) -> pd.DataFrame:
+    """Independent numpy twin of operators/semdedup.semantic_dedup with
+    the gate's parameters: id-ordered training sample (whole corpus at
+    gate scale), deterministic farthest-point-init spherical k-means,
+    nearest-centroid assignment, then per-cluster "drop iff an earlier
+    id in the cluster has cosine >= threshold" with the SAME row-block
+    schedule so the float64 comparisons are bit-identical."""
+    emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    planted = emb.assign(vec_id=emb["vec_id"] + 1_000_000)  # exact copies
+    emb = pd.concat([emb, planted], ignore_index=True)
+    emb = emb.sort_values("vec_id", ignore_index=True)
+    ids = emb["vec_id"].to_numpy(np.int64)
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    # --- train (sample = all rows, already id-ordered) ---
+    norms = np.linalg.norm(m, axis=1)
+    mt = m[norms > 0] / norms[norms > 0, None]
+    chosen = [0]
+    best = mt @ mt[0]
+    for _ in range(1, k):
+        nxt = int(np.argmin(best))
+        chosen.append(nxt)
+        best = np.maximum(best, mt @ mt[nxt])
+    cents = mt[chosen].copy()
+    for _ in range(iters):
+        assign = np.argmax(mt @ cents.T, axis=1)
+        for c in range(k):
+            mem = mt[assign == c]
+            if len(mem):
+                v = mem.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    # --- assign every row (zero-norm rows divide by 1, like the op) ---
+    an = norms.copy()
+    an[an == 0] = 1.0
+    list_id = np.argmax((m / an[:, None]) @ cents.T, axis=1).astype(np.int32)
+    # --- per-cluster prune, id-sorted, block schedule as the op ---
+    kept = np.ones(len(ids), dtype=bool)
+    for c in np.unique(list_id):
+        sel = np.flatnonzero(list_id == c)  # ids already sorted
+        mc = m[sel] / an[sel, None]
+        n = len(sel)
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            sims = mc[s:e] @ mc[:e].T
+            earlier = np.arange(s, e)[:, None] > np.arange(e)[None, :]
+            kept[sel[s:e]] = ~((sims >= threshold) & earlier).any(axis=1)
+    return pd.DataFrame(
+        {"vec_id": ids, "list_id": list_id, "is_kept": kept}
+    ).astype({"vec_id": "int64", "list_id": "int32", "is_kept": "bool"})
+
+
 ORACLES = {
     "q_hilbert_cells": q_hilbert_cells,
     "q_h3_cells": q_h3_cells,
@@ -925,6 +981,7 @@ ORACLES = {
     "q_decontaminate": q_decontaminate,
     "q_bpe_train": q_bpe_train,
     "q_bpe_encode": q_bpe_encode,
+    "q_semantic_dedup": q_semantic_dedup,
 }
 
 
