@@ -221,7 +221,8 @@ def _genb_inputs(mvt_bytes: bytes) -> tuple[list[LayerInput], int]:
 
 
 def mvt_to_genb(
-    mvt_bytes: bytes, reorder: bool = False, allow_tae: bool = False
+    mvt_bytes: bytes, reorder: bool = False, allow_tae: bool = False,
+    pfor_wire: str = "ours",
 ) -> tuple[bytes, dict, int, int]:
     """One tile: MVT bytes -> (gen-B COVT bytes, TileJSON dict, n_layers,
     n_features). ``name:*`` groups use the format-reserved
@@ -250,7 +251,7 @@ def mvt_to_genb(
             return len(
                 encode_tile_genb(
                     [lay], optimize_metadata=True, geometry_encoding="best",
-                    allow_tae=allow_tae,
+                    allow_tae=allow_tae, pfor_wire=pfor_wire,
                 )[0]
             )
 
@@ -263,7 +264,7 @@ def mvt_to_genb(
         ]
     payload, tilejson = encode_tile_genb(
         inputs, optimize_metadata=True, geometry_encoding="best",
-        allow_tae=allow_tae,
+        allow_tae=allow_tae, pfor_wire=pfor_wire,
     )
     return payload, tilejson, len(inputs), n_features
 
