@@ -239,21 +239,44 @@ def simhash_near_dups(
     id_col: str,
     max_hamming: int = 3,
     max_bucket_size: int | None = 1024,
+    identical_pairs: str = "all",
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= max_hamming.
 
     Band trick: split 64 bits into (max_hamming + 1) bands; any pair
     within the budget must agree exactly on >= 1 band (pigeonhole) —
-    exact recall, sub-quadratic candidates. Buckets over
-    ``max_bucket_size`` are dropped with a logged count; recall stays
-    exact for every pair whose agreeing band survived (identical texts —
-    the usual cause of a degenerate bucket — are exact_dedup's job).
+    exact recall, sub-quadratic candidates.
+
+    The banded join runs over DISTINCT signatures, not documents: at web
+    scale the degenerate buckets are boilerplate/template text, i.e.
+    thousands of documents sharing one signature — collapsing to the
+    signature level shrinks those buckets by the duplication factor
+    before any quadratic step (measured sf1: max doc-level bucket 3994
+    vs max distinct-sig bucket 669). Signature pairs that survive the
+    Hamming filter are expanded back to id pairs with two hash joins
+    (output-sized — no candidate blowup), and identical-signature id
+    pairs (hamming 0) are emitted separately, so identical texts can
+    never be lost to a bucket drop. The ``max_bucket_size`` cap
+    therefore applies to distinct-signature buckets only; an over-cap
+    bucket is dropped with a logged count and costs only
+    cross-signature recall in that band.
+
+    ``identical_pairs`` controls the hamming-0 expansion: ``"all"``
+    (default) lists every pair within an identical-signature group —
+    the brute-force-oracle contract, inherently quadratic in the group
+    size; ``"star"`` emits (min-id, other) pairs only — n-1 rows per
+    group, the scale-safe shape when the consumer is connectivity-based
+    (``dedup_clusters`` produces identical clusters from either).
     """
+    if identical_pairs not in ("all", "star"):
+        raise ValueError(f"identical_pairs must be 'all' or 'star': {identical_pairs!r}")
     n_bands = max_hamming + 1
     width = 64 // n_bands
     sh = df.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
     ).cache()
+    sig_tbl = sh.groupBy("sh").agg(F.count("*").alias("n_ids"))
+
     def band_val(i):
         v = F.shiftrightunsigned(F.col("sh"), i * width)
         if width < 64:  # width=64 needs no mask (and 2^64-1 overflows lit)
@@ -264,28 +287,60 @@ def simhash_near_dups(
         F.struct(F.lit(i).alias("band"), band_val(i).alias("bucket"))
         for i in range(n_bands)
     ]
-    buckets = sh.select("id", "sh", F.explode(F.array(*bands)).alias("bb")).select(
-        "id", "sh", "bb.band", "bb.bucket"
+    buckets = sig_tbl.select("sh", F.explode(F.array(*bands)).alias("bb")).select(
+        "sh", "bb.band", "bb.bucket"
     )
     buckets = _cap_buckets(buckets, ["band", "bucket"], max_bucket_size, "simhash")
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    a = buckets.select(F.col("sh").alias("sh_a"), "band", "bucket")
+    b = buckets.select(F.col("sh").alias("sh_b"), "band", "bucket")
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", hamming)
+    sig_pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("sh_a") < F.col("sh_b"))
+        .select("sh_a", "sh_b")
+        .dropDuplicates(["sh_a", "sh_b"])
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
+    cross = (
+        sig_pairs.join(
+            sh.select(F.col("sh").alias("sh_a"), F.col("id").alias("ida")), "sh_a"
+        )
+        .join(
+            sh.select(F.col("sh").alias("sh_b"), F.col("id").alias("idb")), "sh_b"
+        )
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    multi = sh.join(
+        sig_tbl.filter(F.col("n_ids") >= 2).select("sh"), "sh", "left_semi"
+    )
+    if identical_pairs == "star":
+        keep = multi.groupBy("sh").agg(F.min("id").alias("id_a"))
+        intra = (
+            multi.join(keep, "sh")
+            .filter(F.col("id") != F.col("id_a"))
+            .select(
+                "id_a",
+                F.col("id").alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+    else:
+        x, y = multi.alias("x"), multi.alias("y")
+        intra = (
+            x.join(y, "sh")
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(
+                F.col("x.id").alias("id_a"),
+                F.col("y.id").alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+    return cross.unionAll(intra)
 
 
 def embedding_near_dups(

@@ -116,13 +116,19 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark, caplog):
     assert not any(a >= 10_000_000 for a, _ in got)
     assert any("dropped" in rec.message for rec in caplog.records)
 
-    with caplog.at_level(logging.WARNING, logger="cov_tiles_spark.dedup"):
-        spairs = simhash_near_dups(
-            corpus, "text", "doc_id", max_hamming=0, max_bucket_size=100
-        ).collect()
+    # simhash collapses identical texts to ONE distinct signature, so the
+    # degenerate corpus never even forms a big bucket; identical pairs are
+    # emitted via the hamming-0 path — "star" keeps it linear (n-1 rows
+    # per identical group) instead of the oracle-exact quadratic listing
+    spairs = simhash_near_dups(
+        corpus, "text", "doc_id", max_hamming=0, max_bucket_size=100,
+        identical_pairs="star",
+    ).collect()
     sgot = {(r.id_a, r.id_b) for r in spairs}
     assert (1, 2) in sgot
-    assert not any(a >= 10_000_000 for a, _ in sgot)
+    junk_pairs = {(a, b) for a, b in sgot if a >= 10_000_000}
+    assert len(junk_pairs) == n_degenerate - 1
+    assert all(a == 10_000_000 for a, _ in junk_pairs)  # star centre = min id
 
     # the dropped identical docs are exactly what exact_dedup catches
     exact = exact_dedup(corpus, "text", "doc_id").collect()
