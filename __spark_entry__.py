@@ -1036,6 +1036,43 @@ def q_simhash_dedup(spark, sf_dir):
     )
 
 
+_N_PHASH_DEDUP = 600
+
+
+def q_phash_dedup(spark, sf_dir):
+    """Perceptual-hash image near-dup pairs (image dedup; rows-only).
+
+    The canonical image-pipeline dedup at the BASELINE.json input_hint
+    shape: the ``phash:int64`` column of the image+caption corpus goes
+    through the banded-Hamming operator (operators/dedup.py
+    ``hamming_near_dups`` — the same distinct-signature pigeonhole core
+    as SimHash text dedup, exact recall for <= max_hamming). Near-dups
+    are planted per image id i as id+1_000_000 with 0..3 deterministic
+    bit flips (positions (7i+13j) % 64, j < i%4 — 13 coprime to 64 so
+    the positions never collide and the planted Hamming distance is
+    exactly i%4). Oracle: independent scalar phash + brute-force
+    all-pairs Hamming (scripts/build_oracles.py) -> committed parquet.
+    """
+    from cov_tiles_spark.io.synth import images_df
+    from cov_tiles_spark.operators.dedup import hamming_near_dups
+
+    imgs = images_df(spark, _N_PHASH_DEDUP, partitions=8)
+    nid = F.substring("image_id", 5, 12).cast("long")
+    orig = imgs.select(nid.alias("nid"), F.col("phash").alias("ph"))
+    mask = F.lit(0).cast("long")
+    for j in range(3):
+        bit = F.expr(f"shiftleft(1L, cast((nid * 7 + {13 * j}) % 64 as int))")
+        mask = F.when(F.col("nid") % 4 > j, mask.bitwiseOR(bit)).otherwise(mask)
+    planted = orig.select(
+        (F.col("nid") + 1_000_000).alias("nid"),
+        F.col("ph").bitwiseXOR(mask).alias("ph"),
+    )
+    corpus = orig.unionAll(planted)
+    return hamming_near_dups(corpus, "ph", "nid", max_hamming=3, op="phash").orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 vs the vec_id=0 embedding (similarity #1).
 
@@ -1471,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_dup_clusters": q_dup_clusters,
         "q_simhash_dedup": q_simhash_dedup,
+        "q_phash_dedup": q_phash_dedup,
         "q_cosine_topk": q_cosine_topk,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ivf_topk": q_ivf_topk,
@@ -2026,6 +2064,11 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash_dedup": f"""
             SELECT id_a, id_b, hamming
             FROM read_parquet('{_ORACLE_DIR}/q_simhash_dedup.parquet')
+            ORDER BY id_a, id_b
+        """,
+        "q_phash_dedup": f"""
+            SELECT id_a, id_b, hamming
+            FROM read_parquet('{_ORACLE_DIR}/q_phash_dedup.parquet')
             ORDER BY id_a, id_b
         """,
         "q_decontaminate": f"""

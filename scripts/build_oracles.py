@@ -525,6 +525,51 @@ def q_image_invariants(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# ---------------------------------------------------- q_phash_dedup
+
+
+def q_phash_dedup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """Brute-force all-pairs Hamming over the image corpus phashes +
+    planted near-dups (the banded operator has exact recall for
+    <= max_hamming by pigeonhole, so its output equals this).
+
+    Planted row per image id i: id + 1_000_000, phash with j < i%4 bits
+    flipped at positions (7i + 13j) % 64 — the corpus definition shared
+    with __spark_entry__.q_phash_dedup. The phash itself comes from the
+    independent scalar stack (_img_generate + _scalar_phash)."""
+    ids = []
+    ph = []
+    for i in range(_IMG_N):
+        w = _IMG_WIDTHS[i % 3]
+        h = _IMG_HEIGHTS[(i // 3) % 3]
+        p = _scalar_phash(_img_generate(i, w, h))
+        ids.append(i)
+        ph.append(p)
+        mask = 0
+        for j in range(i % 4):
+            mask |= 1 << ((i * 7 + j * 13) % 64)
+        pu = (p & MASK64) ^ mask
+        ids.append(i + 1_000_000)
+        ph.append(pu - (1 << 64) if pu >= (1 << 63) else pu)
+    ida = np.array(ids, dtype=np.int64)
+    x = np.array(ph, dtype=np.int64).view(np.uint64)
+    pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    out = []
+    for i in range(len(ida)):
+        d = np.bitwise_xor(x[i], x[i + 1 :])
+        ham = pop8[d.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+        for j in np.flatnonzero(ham <= max_hamming):
+            pa, pb = int(ida[i]), int(ida[i + 1 + j])
+            lo, hi = (pa, pb) if pa < pb else (pb, pa)
+            out.append((lo, hi, int(ham[j])))
+    return (
+        pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+        .drop_duplicates(["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+        .astype("int64")
+    )
+
+
 # ------------------------------------------- q_token_counts_bpe (scalar)
 
 _JAVA_WS = set(" \t\n\x0b\f\r")  # Java regex \s is the ASCII class
@@ -972,6 +1017,7 @@ ORACLES = {
     "q_simhash_dedup": q_simhash_dedup,
     "q_embedding_near_dups": q_embedding_near_dups,
     "q_image_invariants": q_image_invariants,
+    "q_phash_dedup": q_phash_dedup,
     "q_audio_features": q_audio_features,
     "q_frame_sample": q_frame_sample,
     "q_ngram_jaccard": q_ngram_jaccard,

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from cov_tiles_spark.operators.dedup import (
     embedding_near_dups,
     exact_dedup,
+    hamming_near_dups,
     minhash_near_dups,
     ngram_jaccard_pairs,
     simhash_near_dups,
@@ -66,6 +67,41 @@ def test_simhash_finds_planted_pairs(spark, docs):
     ids = [r.doc_id for r in docs.select("doc_id").collect()]
     assert all((i, i + 1_000_000) in got for i in ids)
     assert all(r.hamming == 0 for r in pairs if r.id_b == r.id_a + 1_000_000)
+
+
+def test_hamming_near_dups_exact_recall_on_int64_hashes(spark):
+    """The banded core on a raw int64 hash column (the phash path):
+    every pair within the Hamming budget is found with its exact
+    distance, pairs outside the budget are absent — verified against a
+    brute-force python twin on a corpus engineered to include identical
+    hashes, <=3-bit flips, and >3-bit flips crossing band boundaries."""
+    rng = np.random.default_rng(7)
+    base = rng.integers(-(1 << 62), 1 << 62, size=40, dtype=np.int64)
+    rows = [(int(i), int(h)) for i, h in enumerate(base)]
+    nxt = 1000
+    for i, h in enumerate(base):
+        nflips = i % 6  # 0..5: past the max_hamming=3 budget for 4,5
+        hu = int(h) & (1 << 64) - 1
+        for j in range(nflips):
+            hu ^= 1 << ((i * 11 + j * 17) % 64)
+        rows.append((nxt + i, hu - (1 << 64) if hu >= 1 << 63 else hu))
+    df = spark.createDataFrame(rows, "nid long, ph long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_near_dups(df, "ph", "nid", max_hamming=3).collect()
+    }
+    # brute-force twin
+    vals = {nid: ph & (1 << 64) - 1 for nid, ph in rows}
+    want = {}
+    ids = sorted(vals)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            d = bin(vals[ids[a]] ^ vals[ids[b]]).count("1")
+            if d <= 3:
+                want[(ids[a], ids[b])] = d
+    assert got == want
+    assert any(d == 0 for d in want.values())  # identical-hash path hit
+    assert any(d == 3 for d in want.values())  # band-boundary path hit
 
 
 def test_ngram_jaccard_finds_planted(spark, docs):
