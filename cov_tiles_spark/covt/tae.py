@@ -123,8 +123,16 @@ def decompose_arcs(rings: list[np.ndarray], closed: bool = True):
         rots.append(rot)
         cuts = sorted(set([0] + juncs))  # open chains always cut at 0
         # junction-free closed rings keep their open form (one arc of n
-        # vertices, no synthetic closing vertex inflating the count)
-        cyc = pts + [pts[0]] if (closed and juncs) else pts
+        # vertices, no synthetic closing vertex inflating the count) —
+        # UNLESS that open form already starts and ends on the same
+        # vertex (degenerate all-equal rings like [(0,0),(0,0)]): the
+        # decoders' "first == last ⇒ drop synthetic closure" rule would
+        # then eat a real vertex, so such rings store the closure too,
+        # keeping the rule unambiguous (hypothesis-found)
+        needs_closure = closed and (
+            bool(juncs) or (len(pts) > 1 and pts[0] == pts[-1])
+        )
+        cyc = pts + [pts[0]] if needs_closure else pts
         ring_refs = []
         bounds = cuts + [len(cyc) - 1]
         for s, e in zip(bounds[:-1], bounds[1:]):

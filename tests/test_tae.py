@@ -218,7 +218,7 @@ def test_tae_wire_random_linestrings_kernel():
 
 
 try:
-    from hypothesis import given, settings
+    from hypothesis import example, given, settings
     from hypothesis import strategies as st
 
     _ring = st.lists(
@@ -228,6 +228,10 @@ try:
 
     @given(st.lists(_ring, min_size=1, max_size=8), st.booleans())
     @settings(max_examples=120, deadline=None)
+    # all-equal degenerate ring: its open form starts and ends on the
+    # same vertex, so decompose must store the synthetic closure or the
+    # decoders' first==last drop rule eats a real vertex
+    @example(rings_py=[[(0, 0), (0, 0)], [(0, 0), (0, 1)]], closed=True)
     def test_tae_property_roundtrip(rings_py, closed):
         """Decompose/reconstruct is exact on arbitrary tiny-grid rings —
         heavy vertex reuse, self-touching rings, duplicate points."""
