@@ -760,6 +760,27 @@ def q_tile_encode_genb(spark, sf_dir):
     )
 
 
+def q_tile_decode_pruned(spark, sf_dir):
+    """Projected tile read: gen-B payloads decoded with the projection
+    pushed INTO the payload — unselected streams are cursor-jumped via
+    their recorded byte lengths, never parsed (covt/genb.py
+    decode_tile_genb(columns=...); 1.7-11x on the reference's golden
+    tiles depending on selectivity, the lazy-parse scan shape its parser
+    roadmap targets). Twin = q_tile_encode's events SQL minus the pruned
+    columns, so a hash match proves the pruned read returns exactly the
+    full read's selected columns."""
+    from cov_tiles_spark.pipeline.materialize import decode_tiles, materialize_tiles
+
+    imgs = _events_images(spark, sf_dir)
+    tiles = materialize_tiles(
+        imgs, [2, 4, 6], with_mvt_baseline=False, wire_format="genb",
+        max_features_per_tile=_GATE_CAP,
+    )
+    return decode_tiles(
+        tiles, wire_format="genb", columns=["caption", "w"]
+    ).orderBy("z", "x", "y", "feature_id")
+
+
 def q_raster_cells(spark, sf_dir):
     """Raster-grid aggregation: per (tile, 16x16 cell) point counts at z4
     — the SQL-checkable half of the raster↔vector materialization
@@ -1490,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delta_tiles": q_delta_tiles,
         "q_overzoom": q_overzoom,
         "q_tile_encode_genb": q_tile_encode_genb,
+        "q_tile_decode_pruned": q_tile_decode_pruned,
         "q_tile_export_mvt": q_tile_export_mvt,
         "q_raster_cells": q_raster_cells,
         "q_sessionize": q_sessionize,
@@ -2203,6 +2225,19 @@ def oracle_sql() -> dict[str, str]:
     }
     # gen-B roundtrip must reproduce the identical feature table
     oracles["q_tile_encode_genb"] = oracles["q_tile_encode"]
+    # projected in-payload read: same table, selected columns only
+    oracles["q_tile_decode_pruned"] = f"""
+        WITH pts AS (
+          SELECT event_id, event_type, {_MX_E} AS mx, {_MY_E} AS my FROM events),
+        a AS (
+          SELECT z, event_id, event_type,
+                 cast(least(pow(2, z) - 1, greatest(0, floor(mx * pow(2, z)))) as int) AS x,
+                 cast(least(pow(2, z) - 1, greatest(0, floor(my * pow(2, z)))) as int) AS y
+          FROM pts CROSS JOIN (SELECT unnest([2, 4, 6]) AS z))
+        SELECT cast(z as int) AS z, x, y, event_id AS feature_id,
+               event_type AS caption, cast(32 as bigint) AS w
+        FROM a ORDER BY z, x, y, feature_id
+    """
     # export path must reproduce the identical feature table
     oracles["q_tile_export_mvt"] = oracles["q_tile_encode"]
     # rollup covers z2-z6 contiguously; same per-level feature table

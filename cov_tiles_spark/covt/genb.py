@@ -787,23 +787,53 @@ def _decode_stream_ints(
 
 
 def decode_tile_genb(
-    buf: bytes, tilejson: dict | None = None, pfor_wire: str = "ours"
+    buf: bytes, tilejson: dict | None = None, pfor_wire: str = "ours",
+    layers: "set[str] | None" = None, columns: "set[str] | None" = None,
 ) -> dict[str, LayerData]:
     """Decode a gen-B tile (`CovtParser.java:53-133` flow).
 
     ``pfor_wire="java"`` reads FAST_PFOR streams in JavaFastPFOR's wire
     (what the reference's Java converter emits); default is our
     in-format container. The stream metadata does not self-describe the
-    wire, so the caller states which producer wrote the tile."""
+    wire, so the caller states which producer wrote the tile.
+
+    ``layers`` / ``columns`` push projection INTO the payload: every
+    stream's byte length is in the column metadata, so unselected
+    layers' data sections and unselected columns' streams are skipped
+    with a cursor jump instead of decoded (the scan-level pruning the
+    reference's lazy-parser roadmap targets; at 100 TB a
+    geometry-only or single-property read touches a fraction of the
+    tile bytes). ``columns`` names property columns plus the reserved
+    ``"id"`` / ``"geometry"`` names; selected members of a shared
+    (localized) dictionary group force their group leader's decode so
+    the shared dictionary exists, but only selected columns appear in
+    the result. Column *metadata* stays complete either way — only
+    data decoding is pruned."""
     token = _PFOR_WIRE.set(pfor_wire)
     try:
-        return _decode_tile_genb_locked(buf, tilejson)
+        return _decode_tile_genb_locked(buf, tilejson, layers, columns)
     finally:
         _PFOR_WIRE.reset(token)
 
 
+def _skip_column_data(
+    b: np.ndarray, pos: int, role: str, dtype: "GDataType",
+    streams: list, n_bytes: int,
+) -> int:
+    """Cursor-jump one column's data section: the implicit present
+    byte-RLE first for non-boolean properties (`:295` — absent from the
+    stream metadata), then the declared streams' recorded byte lengths."""
+    from cov_tiles_spark.covt.rle import skip_byte_rle
+
+    if role == "property" and dtype != GDataType.BOOLEAN:
+        pos = skip_byte_rle(b, n_bytes, pos)
+    return pos + sum(s[3] for s in streams)
+
+
 def _decode_tile_genb_locked(
-    buf: bytes, tilejson: dict | None = None
+    buf: bytes, tilejson: dict | None = None,
+    sel_layers: "set[str] | None" = None,
+    sel_columns: "set[str] | None" = None,
 ) -> dict[str, LayerData]:
     b = np.frombuffer(buf, dtype=np.uint8)
     pos = 0
@@ -876,14 +906,60 @@ def _decode_tile_genb_locked(
             columns.append((name, role, dtype, ctype, streams))
 
         # ---- data section
+        nb_present = (n_features + 7) // 8
+        if sel_layers is not None and layer_name not in sel_layers:
+            # unselected layer: jump the cursor over its whole data
+            # section (declared stream byte lengths are exact by
+            # construction; non-boolean properties additionally carry an
+            # IMPLICIT present byte-RLE stream — `:295` — walked header
+            # by header, never materialized; pinned by the pruning tests)
+            for _n, role, dtype, _c, streams in columns:
+                pos = _skip_column_data(b, pos, role, dtype, streams, nb_present)
+            continue
+
+        # column selection: which columns decode, and which additional
+        # shared-dictionary group LEADERS must decode anyway so a
+        # selected follower has its dictionary (leader = the
+        # LOCALIZED_DICTIONARY column carrying the DICTIONARY stream;
+        # followers attach to the most recent leader)
+        if sel_columns is None:
+            decode_col = [True] * len(columns)
+            emit_col = decode_col
+        else:
+            emit_col = [
+                (name in sel_columns)
+                if role == "property"
+                else (
+                    (ID_COLUMN in sel_columns)
+                    if role == "id"
+                    else (GEOMETRY_COLUMN in sel_columns)
+                )
+                for name, role, *_r in columns
+            ]
+            decode_col = list(emit_col)
+            leader_i = -1
+            for i, (name, role, dtype, ctype, streams) in enumerate(columns):
+                if ctype != GColumnType.LOCALIZED_DICTIONARY:
+                    continue
+                # leader = non-empty DICTIONARY stream; followers carry
+                # an EMPTY (nv=0) DICTIONARY marker (`:720`)
+                if any(
+                    s[0] == StreamType.DICTIONARY and s[2] > 0 for s in streams
+                ):
+                    leader_i = i
+                elif emit_col[i] and leader_i >= 0:
+                    decode_col[leader_i] = True
+
         ids = None
         shared_dict: list[str] | None = None
         geometry = None
         properties: dict[str, PropertyColumn] = {}
         n_bytes = (n_features + 7) // 8
         col_metas: list[ColumnMetadata] = []
-        for name, role, dtype, ctype, streams in columns:
-            if role == "id":
+        for ci, (name, role, dtype, ctype, streams) in enumerate(columns):
+            if not decode_col[ci]:
+                pos = _skip_column_data(b, pos, role, dtype, streams, nb_present)
+            elif role == "id":
                 stype, senc, nv, bl = streams[0]
                 if senc == StreamEncoding.RLE:
                     vals, pos = decode_int_rle(b, nv, pos, signed=False)
@@ -905,7 +981,8 @@ def _decode_tile_genb_locked(
                         shared_dict = prop.dictionary  # group leader
                     else:
                         prop.dictionary = shared_dict  # follower shares it
-                properties[name] = prop
+                if emit_col[ci]:
+                    properties[name] = prop
             col_metas.append(
                 ColumnMetadata(
                     name=name,

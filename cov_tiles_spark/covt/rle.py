@@ -283,6 +283,24 @@ def decode_byte_rle(
     return out, offset
 
 
+def skip_byte_rle(buf: np.ndarray, n_bytes: int, offset: int = 0) -> int:
+    """Advance past an encoded byte-RLE stream of ``n_bytes`` logical
+    bytes without materializing it (header walk only — used by the
+    selective gen-B decode to jump implicit present streams)."""
+    count = 0
+    while count < n_bytes:
+        header = int(buf[offset])
+        offset += 1
+        if header <= 0x7F:
+            offset += 1
+            count += header + 3
+        else:
+            lit = 256 - header
+            offset += lit
+            count += lit
+    return offset
+
+
 def encode_byte_rle(values: np.ndarray) -> bytes:
     """Encode bytes as RLE blocks (runs of >=3 equal bytes, else literals).
 

@@ -520,14 +520,47 @@ DECODE_SCHEMA = (
 )
 
 
-def decode_tiles(payloads: DataFrame, wire_format: str = "gena") -> DataFrame:
-    """Inverse: payload rows → exploded feature rows (verification join)."""
+_STR_PROPS = ("caption", "fmt")
+_INT_PROPS = ("w", "h", "phash")
+
+
+def decode_tiles(
+    payloads: DataFrame,
+    wire_format: str = "gena",
+    columns: "list[str] | None" = None,
+) -> DataFrame:
+    """Inverse: payload rows → exploded feature rows (verification join).
+
+    ``columns`` projects the read: a subset of ``{"geometry", "caption",
+    "fmt", "w", "h", "phash"}`` (``feature_id`` always decodes — it is
+    the join key). For gen-B payloads the projection is pushed INTO the
+    tile: unselected streams are cursor-jumped, never parsed
+    (``covt/genb.py decode_tile_genb(columns=...)`` — 1.7-11x on the
+    reference's golden tiles depending on selectivity). Gen-A decodes
+    fully and projects after (its decoder has no skip path); the output
+    schema is identical either way, so plans are format-portable."""
+    sel = None if columns is None else set(columns)
+    with_geom = sel is None or "geometry" in sel
+    str_props = [c for c in _STR_PROPS if sel is None or c in sel]
+    int_props = [c for c in _INT_PROPS if sel is None or c in sel]
+    schema_parts = ["z int", "x int", "y int", "feature_id long"]
+    if with_geom:
+        schema_parts += ["local_x int", "local_y int"]
+    schema_parts += [f"{c} string" for c in str_props]
+    schema_parts += [f"{c} long" for c in int_props]
+    schema = ", ".join(schema_parts)
+    genb_cols = (
+        None
+        if sel is None
+        else {"id", *str_props, *int_props} | ({"geometry"} if with_geom else set())
+    )
 
     def _decode(batches):
         if wire_format == "genb":
             from cov_tiles_spark.covt.genb import decode_tile_genb
 
-            decode = decode_tile_genb
+            def decode(payload):
+                return decode_tile_genb(payload, columns=genb_cols)
         else:
             decode = decode_covt
         for pdf in batches:
@@ -536,28 +569,29 @@ def decode_tiles(payloads: DataFrame, wire_format: str = "gena") -> DataFrame:
                 layers = decode(bytes(row["payload"]))
                 lay = layers["images"]
                 n = lay.metadata.num_features
-                vb = lay.geometry.vertex_buffer
                 rec = {
                     "z": np.full(n, row["z"], np.int32),
                     "x": np.full(n, row["x"], np.int32),
                     "y": np.full(n, row["y"], np.int32),
                     "feature_id": lay.ids.astype(np.int64),
-                    "local_x": vb[0::2].astype(np.int32),
-                    "local_y": vb[1::2].astype(np.int32),
                 }
-                for name in ("caption", "fmt"):
+                if with_geom:
+                    vb = lay.geometry.vertex_buffer
+                    rec["local_x"] = vb[0::2].astype(np.int32)
+                    rec["local_y"] = vb[1::2].astype(np.int32)
+                for name in str_props:
                     pc = lay.properties[name]
                     rec[name] = np.asarray(pc.dictionary, dtype=object)[
                         pc.data.astype(np.int64)
                     ]
-                for name in ("w", "h", "phash"):
+                for name in int_props:
                     rec[name] = lay.properties[name].data.astype(np.int64)
                 outs.append(pd.DataFrame(rec))
             yield pd.concat(outs) if outs else pd.DataFrame(
-                columns=[f.split()[0] for f in DECODE_SCHEMA.split(", ")]
+                columns=[f.split()[0] for f in schema.split(", ")]
             )
 
-    return payloads.mapInPandas(_decode, schema=DECODE_SCHEMA)
+    return payloads.mapInPandas(_decode, schema=schema)
 
 
 def decode_tiles_via_mvt(payloads: DataFrame) -> DataFrame:
