@@ -1300,6 +1300,33 @@ def q_image_invariants(spark, sf_dir):
     return imgs.mapInPandas(_check, schema=out_schema).orderBy("image_id")
 
 
+def q_webdataset_roundtrip(spark, sf_dir):
+    """WebDataset tar shard sink→source roundtrip (sources/shards.py):
+    the input-hint image corpus is materialized into hash-sharded,
+    byte-reproducible tar archives ({key}.{fmt} / {key}.txt /
+    {key}.json members, the public WebDataset convention) and read back
+    through the binaryFile scan. The result is the read surface —
+    payload md5 + every metadata field — checked against the same
+    INDEPENDENT scalar image stack that pins q_image_invariants
+    (scripts/build_oracles.py), so a hash match proves write→read is
+    lossless byte-for-byte AND the corpus derivation agrees with the
+    oracle encoder."""
+    import tempfile
+
+    from cov_tiles_spark.io.synth import images_df
+    from cov_tiles_spark.sources.shards import read_webdataset, write_webdataset
+
+    imgs = images_df(spark, _N_IMG_INVARIANTS, partitions=8)
+    tmp = tempfile.mkdtemp(prefix="wds_gate_")
+    write_webdataset(imgs, tmp, target_shard_bytes=192 * 1024)
+    back = read_webdataset(spark, tmp)
+    return back.select(
+        "image_id",
+        F.md5("bytes").alias("payload_md5"),
+        "w", "h", "fmt", "caption", "phash",
+    ).orderBy("image_id")
+
+
 def q_resize(spark, sf_dir):
     """Image resize (multimodal op #3): every corpus image decoded,
     area-mean-resized to 12x10 (exact integer box averages via prefix
@@ -1538,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_near_dups": q_embedding_near_dups,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_image_invariants": q_image_invariants,
+        "q_webdataset_roundtrip": q_webdataset_roundtrip,
         "q_audio_features": q_audio_features,
         "q_frame_sample": q_frame_sample,
         "q_resize": q_resize,
@@ -2112,6 +2140,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, fmt, w, h, caption, phash, phash_dist,
                    payload_md5, sq_err, n_subpx, psnr40_ok
             FROM read_parquet('{_ORACLE_DIR}/q_image_invariants.parquet')
+            ORDER BY image_id
+        """,
+        "q_webdataset_roundtrip": f"""
+            SELECT image_id, payload_md5, w, h, fmt, caption, phash
+            FROM read_parquet('{_ORACLE_DIR}/q_webdataset_roundtrip.parquet')
             ORDER BY image_id
         """,
         "q_audio_features": f"""

@@ -1009,6 +1009,14 @@ def q_semantic_dedup(
     ).astype({"vec_id": "int64", "list_id": "int32", "is_kept": "bool"})
 
 
+def q_webdataset_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Expectation for the WebDataset shard sink→source roundtrip: the
+    same independent scalar image stack as q_image_invariants, reduced
+    to the read surface (payload md5 + metadata fields)."""
+    df = q_image_invariants(sf_dir)
+    return df[["image_id", "payload_md5", "w", "h", "fmt", "caption", "phash"]]
+
+
 ORACLES = {
     "q_hilbert_cells": q_hilbert_cells,
     "q_h3_cells": q_h3_cells,
@@ -1017,6 +1025,7 @@ ORACLES = {
     "q_simhash_dedup": q_simhash_dedup,
     "q_embedding_near_dups": q_embedding_near_dups,
     "q_image_invariants": q_image_invariants,
+    "q_webdataset_roundtrip": q_webdataset_roundtrip,
     "q_phash_dedup": q_phash_dedup,
     "q_audio_features": q_audio_features,
     "q_frame_sample": q_frame_sample,
