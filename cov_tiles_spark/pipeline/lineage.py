@@ -131,8 +131,14 @@ class IcebergLite:
             .agg(
                 F.count("*").alias("n_rows"),
                 F.sum(byte_expr.cast("long")).alias("n_bytes"),
-                # xor-fold: order-insensitive and immune to ANSI overflow
-                F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("checksum"),
+                # xor-fold: order-insensitive and immune to ANSI overflow;
+                # columns NAME-SORTED so the checksum is comparable across
+                # commits whose DataFrames arrange columns differently
+                # (compact_partitions verifies rewrites against the
+                # superseded winner's checksum)
+                F.expr(
+                    f"bit_xor(xxhash64({', '.join(sorted(cols))}))"
+                ).alias("checksum"),
             )
         )
         if metrics.isEmpty():
@@ -311,6 +317,203 @@ class IcebergLite:
         # next manifests() read resolves the pre-rollback file set
         self.spark.catalog.refreshByPath(self._manifest_dir)
         return doomed
+
+
+    # ---------------- maintenance ----------------
+
+    def expire_snapshots(self, table: str, older_than_ns: int) -> dict:
+        """Vacuum superseded partition versions beyond the time-travel
+        horizon (Iceberg's ``expireSnapshots`` + orphan cleanup, at the
+        granularity our layout allows).
+
+        A (snapshot, partition_key) version is expirable iff it was
+        committed at or before ``older_than_ns`` AND a newer snapshot
+        owns that key (so latest-wins reads cannot change — including
+        tombstone winners, which must stay so deleted keys don't
+        resurrect). Expired versions lose their manifest rows and their
+        ``snapshot_id=…/<pcol>=…`` data directory; time travel to
+        before the horizon correspondingly forgets them — that is the
+        storage-reclaim contract. Returns counts + reclaimed bytes.
+
+        File deletion is a driver-side posix walk on this lite lake; a
+        real Iceberg catalog does the same from its file manifests."""
+        import shutil
+
+        m = self.manifests().filter(F.col("table") == table).cache()
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("partition_key").orderBy(
+            F.col("committed_at_ns").desc(), F.col("snapshot_id").desc()
+        )
+        versions = m.withColumn("_rk", F.row_number().over(w))
+        doomed = versions.filter(
+            (F.col("_rk") > 1) & (F.col("committed_at_ns") <= older_than_ns)
+        ).select("snapshot_id", "partition_key", "n_bytes").collect()
+        m.unpersist()
+        if not doomed:
+            return {"versions_expired": 0, "bytes_reclaimed": 0, "dirs_removed": 0}
+
+        base = f"{self.root}/{table}"
+        pcol = None
+        dirs_removed = 0
+        for r in doomed:
+            snap_dir = f"{base}/snapshot_id={r.snapshot_id}"
+            if pcol is None and os.path.isdir(snap_dir):
+                for d in os.listdir(snap_dir):
+                    if "=" in d:
+                        pcol = d.split("=", 1)[0]
+                        break
+            part_dir = f"{snap_dir}/{pcol}={r.partition_key}" if pcol else None
+            if part_dir and os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
+                dirs_removed += 1
+            # drop now-empty snapshot dirs so read_table's listing stays clean
+            if os.path.isdir(snap_dir) and not any(
+                e for e in os.listdir(snap_dir) if not e.startswith(".")
+            ):
+                shutil.rmtree(snap_dir)
+
+        # manifest rewrite: copy-then-swap (same model as rollback)
+        doomed_keys = {(r.snapshot_id, r.partition_key) for r in doomed}
+        doomed_df = self.spark.createDataFrame(
+            [(s, k) for s, k in doomed_keys], "snapshot_id string, partition_key string"
+        ).withColumnRenamed("snapshot_id", "_d_snap").withColumnRenamed(
+            "partition_key", "_d_pk"
+        )
+        all_m = self.manifests()
+        keep = all_m.join(
+            F.broadcast(doomed_df),
+            (all_m["table"] == table)
+            & (all_m["snapshot_id"] == doomed_df["_d_snap"])
+            & (all_m["partition_key"] == doomed_df["_d_pk"]),
+            "left_anti",
+        )
+        tmp = f"{self._manifest_dir}.tmp-{uuid.uuid4().hex[:8]}"
+        keep.write.mode("overwrite").parquet(tmp)
+        old = f"{self._manifest_dir}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(self._manifest_dir, old)
+        os.rename(tmp, self._manifest_dir)
+        shutil.rmtree(old)
+        self.spark.catalog.refreshByPath(self._manifest_dir)
+        return {
+            "versions_expired": len(doomed),
+            "bytes_reclaimed": int(sum(r.n_bytes for r in doomed)),
+            "dirs_removed": dirs_removed,
+        }
+
+    def compact_partitions(
+        self,
+        table: str,
+        stage: str,
+        max_files_per_partition: int = 1,
+        shuffle_partitions: int | None = None,
+    ) -> dict:
+        """Small-file compaction: rewrite fragmented partitions' latest
+        rows as ONE new overwrite snapshot with ``repartition(pcol)``
+        file placement (each key's rows land in one task → one file per
+        partition directory).
+
+        Safety invariant from the lineage model: before the rewrite, the
+        fragmented partitions' xor-fold checksums are recomputed from
+        the read-back frame with the manifest formula (one pure-JVM hash
+        aggregation over the rows being rewritten); the new commit's
+        manifest checksums must equal them exactly or the compaction
+        raises — a rewrite that corrupts even one value refuses to
+        stand. (The superseded winner's RECORDED checksum is not used
+        directly: parquet partition-type inference may read the
+        partition column back as a different type than it was hashed
+        with at commit time, e.g. string "0" → int.) Fragmentation
+        detection walks the winner version directories (metadata-scale;
+        an object-store deployment consults its file manifests instead).
+        Old versions stay time-travelable until
+        :meth:`expire_snapshots`."""
+        from pyspark.sql import Window
+
+        m = self.manifests().filter(F.col("table") == table)
+        w = Window.partitionBy("partition_key").orderBy(
+            F.col("committed_at_ns").desc(), F.col("snapshot_id").desc()
+        )
+        winners = (
+            m.withColumn("_rk", F.row_number().over(w))
+            .filter((F.col("_rk") == 1) & (F.col("n_rows") > 0))
+            .select("snapshot_id", "partition_key")
+            .collect()
+        )
+        base = f"{self.root}/{table}"
+        frag_keys: list[str] = []
+        pcol = None
+        for r in winners:
+            snap_dir = f"{base}/snapshot_id={r.snapshot_id}"
+            if pcol is None and os.path.isdir(snap_dir):
+                for d in os.listdir(snap_dir):
+                    if "=" in d:
+                        pcol = d.split("=", 1)[0]
+                        break
+            pdir = f"{snap_dir}/{pcol}={r.partition_key}" if pcol else None
+            if not pdir or not os.path.isdir(pdir):
+                continue
+            n_files = sum(
+                1 for f in os.listdir(pdir)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            if n_files > max_files_per_partition:
+                frag_keys.append(r.partition_key)
+        if not frag_keys:
+            return {"partitions_compacted": 0, "checksums_verified": 0}
+
+        keys_df = self.spark.createDataFrame(
+            [(k,) for k in frag_keys], "partition_key string"
+        ).withColumnRenamed("partition_key", "_c_pk")
+        cur = self.read_table(table, latest_only=True)
+        part_col = self._partition_col_of_name(base)
+        frag = cur.join(
+            F.broadcast(keys_df),
+            cur[part_col].cast("string") == keys_df["_c_pk"],
+            "left_semi",
+        ).cache()
+        old_sums = {
+            r.partition_key: r.checksum
+            for r in frag.groupBy(
+                F.col(part_col).cast("string").alias("partition_key")
+            )
+            .agg(
+                F.expr(
+                    f"bit_xor(xxhash64({', '.join(sorted(frag.columns))}))"
+                ).alias("checksum")
+            )
+            .collect()
+        }
+        n_shuffle = shuffle_partitions or max(1, min(len(frag_keys), 200))
+        compacted = frag.repartition(n_shuffle, F.col(part_col))
+        new_rows = self.commit_partitions(
+            table, stage, compacted, part_col, mode="overwrite"
+        ).select("partition_key", "checksum").collect()
+        frag.unpersist()
+        mismatches = [
+            r.partition_key
+            for r in new_rows
+            if old_sums.get(r.partition_key) != r.checksum
+        ]
+        if mismatches:
+            raise RuntimeError(
+                f"compaction checksum mismatch on partitions {mismatches[:5]}"
+                " — new snapshot left in place for inspection; latest reads"
+                " still win on commit order, investigate before expiring"
+            )
+        return {
+            "partitions_compacted": len(new_rows),
+            "checksums_verified": len(new_rows),
+        }
+
+    def _partition_col_of_name(self, base: str) -> str:
+        """The data partition column name, recovered from any snapshot
+        directory's hive layout."""
+        for d in sorted(os.listdir(base)):
+            if d.startswith("snapshot_id="):
+                for e in os.listdir(f"{base}/{d}"):
+                    if "=" in e:
+                        return e.split("=", 1)[0]
+        raise ValueError(f"no partitioned snapshots under {base}")
 
 
 def run_stage(
