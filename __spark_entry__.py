@@ -991,6 +991,65 @@ def q_repetition(spark, sf_dir):
     return repetition_stats(d).orderBy("doc_id")
 
 
+# boilerplate passages planted for the span-dedup gate (>= k tokens each);
+# the same literals are replayed by the pure-python twin in
+# scripts/build_oracles.py, so both engines construct the same corpus
+_BOILER_A = (
+    "please accept all cookies to continue reading this page content now"
+)
+_BOILER_B = "subscribe to our newsletter for weekly updates delivered to you"
+
+
+def q_span_dedup(spark, sf_dir):
+    """Exact duplicated-substring removal (ExactSubstr, Lee et al. 2022;
+    operators/spandedup.py): every duplicated 8-token window is cut,
+    keeping the min-(doc,pos) occurrence. Boilerplate passages planted
+    on every 20th / 7th document give cross-doc duplicated spans; the
+    oracle is an independent pure-python twin keyed on exact token
+    tuples (no hashing), so a rolling-hash collision would fail the
+    gate."""
+    from cov_tiles_spark.operators.spandedup import exact_span_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 20 == 0, F.lit(" " + _BOILER_A)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" " + _BOILER_B)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return exact_span_dedup(corpus, "text", "doc_id", k=8).orderBy("doc_id")
+
+
+# planted corpus-wide duplicate line for the C4-clean gate (same literal
+# in the DuckDB twin)
+_PLANT_LINE = "the fast table scan runs on the big cluster tonight"
+# every 12-token run becomes a line (Java and RE2 regex semantics agree:
+# non-overlapping left-to-right global replace)
+_LINE_PAT = r"((?:\S+ ){11}\S+) "
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4-style line cleaning (operators/cleaning.py): min-4-words line
+    filter + badword line drop + corpus-GLOBAL line dedup (keep the
+    min-(doc,line) occurrence) + document reassembly. Fully JVM-side,
+    so the twin is live DuckDB SQL recomputing the whole pass."""
+    from cov_tiles_spark.operators.cleaning import c4_clean
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), _LINE_PAT, "$1\n"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("\n" + _PLANT_LINE)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return c4_clean(
+        corpus, "text", "doc_id", min_words_per_line=4, badwords=["slow"]
+    ).orderBy("doc_id")
+
+
 def q_minhash_dedup(spark, sf_dir):
     """MinHash+LSH near-dup pairs on documents + planted exact copies
     (dedup #2; pandas-UDF signatures -> rows-only driver check, exactness
@@ -1552,6 +1611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_quality": q_quality,
         "q_repetition": q_repetition,
+        "q_span_dedup": q_span_dedup,
+        "q_c4_clean": q_c4_clean,
         "q_semantic_dedup": q_semantic_dedup,
         "q_minhash_dedup": q_minhash_dedup,
         "q_decontaminate": q_decontaminate,
@@ -2105,6 +2166,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, list_id, is_kept
             FROM read_parquet('{_ORACLE_DIR}/q_semantic_dedup.parquet')
             ORDER BY vec_id
+        """,
+        "q_span_dedup": f"""
+            SELECT doc_id, clean_text, n_tokens, n_removed
+            FROM read_parquet('{_ORACLE_DIR}/q_span_dedup.parquet')
+            ORDER BY doc_id
+        """,
+        # live twin: the full C4 line-cleaning pass recomputed in SQL
+        # (line split w/ ordinality, min-words + badword filters,
+        # corpus-global keeper dedup, ordered reassembly)
+        "q_c4_clean": f"""
+            WITH corpus AS (
+                SELECT doc_id,
+                       regexp_replace(text, '((?:\\S+ ){{11}})(\\S+) ',
+                                      '\\1\\2' || chr(10), 'g')
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN chr(10) || '{_PLANT_LINE}'
+                               ELSE '' END AS t
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id,
+                       unnest(string_split(t, chr(10))) AS line,
+                       generate_subscripts(string_split(t, chr(10)), 1) - 1
+                           AS line_idx
+                FROM corpus
+            ),
+            filt AS (
+                SELECT * FROM lines
+                WHERE len(string_split(line, ' ')) >= 4
+                  AND NOT list_contains(string_split(line, ' '), 'slow')
+            ),
+            keepers AS (
+                SELECT line, min(doc_id * 100000 + line_idx) AS kk
+                FROM filt GROUP BY line
+            ),
+            kept AS (
+                SELECT f.doc_id, f.line_idx, f.line
+                FROM filt f JOIN keepers k ON f.line = k.line
+                WHERE f.doc_id * 100000 + f.line_idx = k.kk
+            ),
+            rebuilt AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY line_idx)
+                           AS clean_text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   CAST(len(string_split(c.t, chr(10))) AS INT) AS n_lines,
+                   CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+            FROM corpus c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id
+            ORDER BY c.doc_id
         """,
         "q_minhash_dedup": f"""
             SELECT id_a, id_b, jaccard_est

@@ -1009,6 +1009,61 @@ def q_semantic_dedup(
     ).astype({"vec_id": "int64", "list_id": "int32", "is_kept": "bool"})
 
 
+# same literals as __spark_entry__._BOILER_A/_B — both engines must build
+# the identical planted corpus
+_SPAN_BOILER_A = (
+    "please accept all cookies to continue reading this page content now"
+)
+_SPAN_BOILER_B = "subscribe to our newsletter for weekly updates delivered to you"
+
+
+def q_span_dedup(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """ExactSubstr span-dedup twin, keyed on EXACT token k-tuples (no
+    hashing at all) — stronger than the operator's 122-bit rolling hash:
+    a hash collision in operators/spandedup.py would fail this gate."""
+    d = load(sf_dir, "documents")
+    rows = []
+    for did, text in zip(d["doc_id"], d["text"]):
+        t = text
+        if did % 20 == 0:
+            t += " " + _SPAN_BOILER_A
+        if did % 7 == 0:
+            t += " " + _SPAN_BOILER_B
+        rows.append((int(did), t))
+    sites: dict[tuple, list] = {}
+    toks = {}
+    for did, text in rows:
+        tk = text.split()
+        toks[did] = tk
+        for pos in range(len(tk) - k + 1):
+            sites.setdefault(tuple(tk[pos:pos + k]), []).append((did, pos))
+    rm: dict[int, list] = {}
+    for occ in sites.values():
+        if len(occ) >= 2:
+            keeper = min(occ)
+            for s in occ:
+                if s != keeper:
+                    rm.setdefault(s[0], []).append(s[1])
+    out = []
+    for did, _ in rows:
+        tk = toks[did]
+        merged: list[list[int]] = []
+        for p in sorted(rm.get(did, [])):
+            if merged and p <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], p + k)
+            else:
+                merged.append([p, p + k])
+        kept, cur = [], 0
+        for s, e in merged:
+            kept.extend(tk[cur:s])
+            cur = max(cur, e)
+        kept.extend(tk[cur:])
+        out.append((did, " ".join(kept), len(tk), len(tk) - len(kept)))
+    return pd.DataFrame(
+        out, columns=["doc_id", "clean_text", "n_tokens", "n_removed"]
+    ).astype({"doc_id": "int64", "n_tokens": "int64", "n_removed": "int64"})
+
+
 def q_webdataset_roundtrip(sf_dir: str) -> pd.DataFrame:
     """Expectation for the WebDataset shard sink→source roundtrip: the
     same independent scalar image stack as q_image_invariants, reduced
@@ -1037,6 +1092,7 @@ ORACLES = {
     "q_bpe_train": q_bpe_train,
     "q_bpe_encode": q_bpe_encode,
     "q_semantic_dedup": q_semantic_dedup,
+    "q_span_dedup": q_span_dedup,
 }
 
 
