@@ -1050,6 +1050,49 @@ def q_c4_clean(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_lm_filter(spark, sf_dir):
+    """CCNet-style bigram-LM perplexity scoring (operators/ngram_lm.py):
+    train stupid-backoff counts on the even-doc half, score every doc.
+    Planted tokens exercise all three probability paths: ' zzqq zzqq'
+    on even 13-multiples (in-train rare token -> bigram + backoff),
+    ' qqxx' on odd 13-multiples (never trained -> OOV floor).  The
+    DuckDB twin recomputes train AND score end-to-end in SQL.  log_ppl
+    (= -logprob/n, bounded ~[0, 10.4]) is emitted instead of raw
+    perplexity so 4-dp rounding is robust for OOV-heavy docs (raw ppl
+    reaches 1e10, where engine log10/pow ulp differences survive
+    fixed-dp rounding); the keep flag thresholds the ROUNDED log_ppl
+    identically in both engines."""
+    from cov_tiles_spark.operators.ngram_lm import lm_score, ngram_lm_counts
+
+    d = _t(spark, sf_dir, "documents")
+    even13 = (F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 2 == 0)
+    odd13 = (F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 2 == 1)
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(even13, F.lit(" zzqq zzqq")).otherwise(F.lit("")),
+            F.when(odd13, F.lit(" qqxx")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    train = corpus.filter(F.col("doc_id") % 2 == 0)
+    big, uni, total = ngram_lm_counts(train, "text", "doc_id")
+    s = lm_score(corpus, big, uni, total, "text", "doc_id")
+    log_ppl = F.round(
+        F.when(F.col("n_scored") > 0, -F.col("logprob") / F.col("n_scored"))
+        .otherwise(F.lit(0.0)),
+        4,
+    )
+    return s.select(
+        "doc_id",
+        "n_scored",
+        "n_oov",
+        F.round("logprob", 4).alias("logprob"),
+        log_ppl.alias("log_ppl"),
+        (log_ppl <= 3.0).alias("keep"),
+    ).orderBy("doc_id")
+
+
 def q_minhash_dedup(spark, sf_dir):
     """MinHash+LSH near-dup pairs on documents + planted exact copies
     (dedup #2; pandas-UDF signatures -> rows-only driver check, exactness
@@ -1613,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": q_repetition,
         "q_span_dedup": q_span_dedup,
         "q_c4_clean": q_c4_clean,
+        "q_lm_filter": q_lm_filter,
         "q_semantic_dedup": q_semantic_dedup,
         "q_minhash_dedup": q_minhash_dedup,
         "q_decontaminate": q_decontaminate,
@@ -2171,6 +2215,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, clean_text, n_tokens, n_removed
             FROM read_parquet('{_ORACLE_DIR}/q_span_dedup.parquet')
             ORDER BY doc_id
+        """,
+        # live twin: bigram stupid-backoff LM trained AND applied in SQL
+        "q_lm_filter": """
+            WITH corpus AS (
+                SELECT doc_id,
+                       text ||
+                       CASE WHEN doc_id % 13 = 0 AND doc_id % 2 = 0
+                            THEN ' zzqq zzqq'
+                            WHEN doc_id % 13 = 0 AND doc_id % 2 = 1
+                            THEN ' qqxx'
+                            ELSE '' END AS text
+                FROM documents
+            ),
+            ttoks AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1)
+                           AS pos
+                FROM corpus WHERE doc_id % 2 = 0
+            ),
+            uni AS (SELECT tok, count(*) AS c1 FROM ttoks GROUP BY tok),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM ttoks),
+            big AS (
+                SELECT a.tok AS ctx, b.tok AS tok, count(*) AS c2
+                FROM ttoks a JOIN ttoks b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                GROUP BY a.tok, b.tok
+            ),
+            stoks AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1)
+                           AS pos
+                FROM corpus
+            ),
+            pairs AS (
+                SELECT a.doc_id, a.tok AS ctx, b.tok AS tok
+                FROM stoks a JOIN stoks b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ),
+            scored AS (
+                SELECT p.doc_id,
+                       CASE WHEN bg.c2 IS NOT NULL
+                            THEN log10(bg.c2 / uc.c1)
+                            WHEN ut.c1 IS NOT NULL
+                            THEN log10(0.4 * ut.c1 / (SELECT t FROM tot))
+                            ELSE log10(0.4 * 1e-10) END AS lp,
+                       CASE WHEN ut.c1 IS NULL THEN 1 ELSE 0 END AS oov
+                FROM pairs p
+                LEFT JOIN big bg ON p.ctx = bg.ctx AND p.tok = bg.tok
+                LEFT JOIN uni uc ON p.ctx = uc.tok
+                LEFT JOIN uni ut ON p.tok = ut.tok
+            ),
+            per AS (
+                SELECT doc_id, count(*) AS n_scored,
+                       sum(oov) AS n_oov, sum(lp) AS lp
+                FROM scored GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   CAST(coalesce(p.n_scored, 0) AS BIGINT) AS n_scored,
+                   CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+                   round(coalesce(p.lp, 0.0), 4) AS logprob,
+                   round(CASE WHEN coalesce(p.n_scored, 0) > 0
+                              THEN -p.lp / p.n_scored
+                              ELSE 0.0 END, 4) AS log_ppl,
+                   round(CASE WHEN coalesce(p.n_scored, 0) > 0
+                              THEN -p.lp / p.n_scored
+                              ELSE 0.0 END, 4) <= 3.0 AS keep
+            FROM corpus c LEFT JOIN per p ON c.doc_id = p.doc_id
+            ORDER BY c.doc_id
         """,
         # live twin: the full C4 line-cleaning pass recomputed in SQL
         # (line split w/ ordinality, min-words + badword filters,
