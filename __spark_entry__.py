@@ -1093,6 +1093,33 @@ def q_lm_filter(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR-style importance weighting (operators/ngram_lm.py
+    ``importance_weights``): target LM trained on the lang='en' docs,
+    raw LM on the whole corpus, per-doc log10 likelihood ratio + a
+    keep flag thresholding the ROUNDED per-token ratio at 0.  The
+    DuckDB twin retrains BOTH models and rescores in SQL."""
+    from cov_tiles_spark.operators.ngram_lm import (
+        importance_weights,
+        ngram_lm_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text")
+    target = d.filter(F.col("lang") == "en").select("doc_id", "text")
+    tm = ngram_lm_counts(target, "text", "doc_id")
+    rm = ngram_lm_counts(corpus, "text", "doc_id")
+    w = importance_weights(corpus, tm, rm, "text", "doc_id")
+    lwn = F.round("log_w_norm", 4)
+    return w.select(
+        "doc_id",
+        "n_scored",
+        F.round("log_w", 4).alias("log_w"),
+        lwn.alias("log_w_norm"),
+        (lwn >= 0.0).alias("keep"),
+    ).orderBy("doc_id")
+
+
 def q_minhash_dedup(spark, sf_dir):
     """MinHash+LSH near-dup pairs on documents + planted exact copies
     (dedup #2; pandas-UDF signatures -> rows-only driver check, exactness
@@ -1657,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_dedup": q_span_dedup,
         "q_c4_clean": q_c4_clean,
         "q_lm_filter": q_lm_filter,
+        "q_dsir_select": q_dsir_select,
         "q_semantic_dedup": q_semantic_dedup,
         "q_minhash_dedup": q_minhash_dedup,
         "q_decontaminate": q_decontaminate,
@@ -1681,6 +1709,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_sample_per_group": q_sample_per_group,
     }
+
+
+def _lm_sql_blocks(prefix: str, where: str) -> str:
+    """CTE block training a bigram stupid-backoff LM over ``documents``
+    (restricted by ``where``) and scoring the shared ``spairs`` pairs —
+    one block per DSIR model, same algebra as the q_lm_filter twin."""
+    return f"""{prefix}toks AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1)
+                           AS pos
+                FROM documents {where}
+            ),
+            {prefix}uni AS (
+                SELECT tok, count(*) AS c1 FROM {prefix}toks GROUP BY tok
+            ),
+            {prefix}tot AS (
+                SELECT CAST(count(*) AS DOUBLE) AS t FROM {prefix}toks
+            ),
+            {prefix}big AS (
+                SELECT a.tok AS ctx, b.tok AS tok, count(*) AS c2
+                FROM {prefix}toks a JOIN {prefix}toks b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                GROUP BY a.tok, b.tok
+            ),
+            {prefix}scored AS (
+                SELECT p.doc_id,
+                       CASE WHEN bg.c2 IS NOT NULL
+                            THEN log10(bg.c2 / uc.c1)
+                            WHEN ut.c1 IS NOT NULL
+                            THEN log10(0.4 * ut.c1 /
+                                       (SELECT t FROM {prefix}tot))
+                            ELSE log10(0.4 * 1e-10) END AS lp
+                FROM spairs p
+                LEFT JOIN {prefix}big bg
+                  ON p.ctx = bg.ctx AND p.tok = bg.tok
+                LEFT JOIN {prefix}uni uc ON p.ctx = uc.tok
+                LEFT JOIN {prefix}uni ut ON p.tok = ut.tok
+            ),
+            {prefix}per AS (
+                SELECT doc_id, count(*) AS n, sum(lp) AS lp
+                FROM {prefix}scored GROUP BY doc_id
+            )"""
 
 
 _LON_E = _LON_SQL.format(k="event_id")
@@ -2215,6 +2286,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, clean_text, n_tokens, n_removed
             FROM read_parquet('{_ORACLE_DIR}/q_span_dedup.parquet')
             ORDER BY doc_id
+        """,
+        # live twin: BOTH DSIR models retrained + rescored in SQL
+        # (same LM algebra as q_lm_filter, emitted per model prefix by
+        # _lm_sql_blocks; spairs = the shared corpus scoring pairs)
+        "q_dsir_select": f"""
+            WITH stoks AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1)
+                           AS pos
+                FROM documents
+            ),
+            spairs AS (
+                SELECT a.doc_id, a.tok AS ctx, b.tok AS tok
+                FROM stoks a JOIN stoks b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ),
+            {_lm_sql_blocks("t", "WHERE lang = 'en'")},
+            {_lm_sql_blocks("r", "")}
+            SELECT d.doc_id,
+                   CAST(coalesce(tper.n, 0) AS BIGINT) AS n_scored,
+                   round(coalesce(tper.lp, 0.0) - coalesce(rper.lp, 0.0),
+                         4) AS log_w,
+                   round(CASE WHEN coalesce(tper.n, 0) > 0
+                              THEN (tper.lp - rper.lp) / tper.n
+                              ELSE 0.0 END, 4) AS log_w_norm,
+                   round(CASE WHEN coalesce(tper.n, 0) > 0
+                              THEN (tper.lp - rper.lp) / tper.n
+                              ELSE 0.0 END, 4) >= 0.0 AS keep
+            FROM documents d
+            LEFT JOIN tper ON d.doc_id = tper.doc_id
+            LEFT JOIN rper ON d.doc_id = rper.doc_id
+            ORDER BY d.doc_id
         """,
         # live twin: bigram stupid-backoff LM trained AND applied in SQL
         "q_lm_filter": """

@@ -21,6 +21,14 @@ re-expression keeps both halves relational:
 
 Everything is ``F.*`` expressions (zero Python rows), so the gate twin
 (q_lm_filter) recomputes train AND score end-to-end in DuckDB SQL.
+
+``importance_weights`` composes two such LMs into DSIR-style data
+selection (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling"): log w(x) = log p_target(x) - log p_raw(x).
+DSIR uses hashed-ngram features; with exact bigram counts the estimator
+is the same likelihood ratio without hash-bucket collisions (documented
+divergence — collisions only blur DSIR's estimate, they are not a
+semantic feature).
 """
 
 from __future__ import annotations
@@ -139,4 +147,43 @@ def lm_score(
             .otherwise(F.lit(1.0))
             .alias("ppl"),
         )
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    target_model: tuple[DataFrame, DataFrame, int],
+    raw_model: tuple[DataFrame, DataFrame, int],
+    text_col: str,
+    id_col: str,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """DSIR importance weights: per-doc log10 w = log p_target - log p_raw.
+
+    Each model is an ``ngram_lm_counts`` result.  Returns (id, n_scored,
+    log_w, log_w_norm) where log_w_norm = log_w / n_scored (0.0 for
+    docs with no pairs) is the length-independent per-token ratio used
+    for thresholding.  The corpus is scored twice (two join passes);
+    both passes are map-side when the models broadcast, so the whole
+    operator stays shuffle-free on the corpus in the DSIR regime (small
+    trusted target model, raw model from a sample).
+    """
+    t = lm_score(
+        df, *target_model, text_col=text_col, id_col=id_col,
+        broadcast_model=broadcast_model,
+    ).select(id_col, "n_scored", F.col("logprob").alias("_lp_t"))
+    r = lm_score(
+        df, *raw_model, text_col=text_col, id_col=id_col,
+        broadcast_model=broadcast_model,
+    ).select(id_col, F.col("logprob").alias("_lp_r"))
+    return t.join(r, id_col).select(
+        id_col,
+        "n_scored",
+        (F.col("_lp_t") - F.col("_lp_r")).alias("log_w"),
+        F.when(
+            F.col("n_scored") > 0,
+            (F.col("_lp_t") - F.col("_lp_r")) / F.col("n_scored"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("log_w_norm"),
     )

@@ -10,6 +10,7 @@ import pytest
 from cov_tiles_spark.operators.ngram_lm import (
     ALPHA,
     EPS,
+    importance_weights,
     lm_score,
     ngram_lm_counts,
 )
@@ -86,6 +87,47 @@ class TestLmScore:
         assert got[5]["n_oov"] == 2
         # train docs score strictly better (lower ppl) than the OOV doc
         assert got[1]["ppl"] < got[5]["ppl"]
+
+    def test_dsir_separates_planted_domains(self, spark):
+        # two disjoint-vocab domains; target model trained on domain A
+        dom_a = [(i, "alpha beta gamma delta alpha beta") for i in range(5)]
+        dom_b = [(100 + i, "uno dos tres cuatro uno dos") for i in range(5)]
+        corpus = spark.createDataFrame(dom_a + dom_b, "doc_id long, text string")
+        target = spark.createDataFrame(dom_a, "doc_id long, text string")
+        tm = ngram_lm_counts(target, "text", "doc_id")
+        rm = ngram_lm_counts(corpus, "text", "doc_id")
+        got = {
+            r["doc_id"]: r["log_w_norm"]
+            for r in importance_weights(
+                corpus, tm, rm, "text", "doc_id"
+            ).collect()
+        }
+        # in-domain docs score no worse under the target than the mixed
+        # raw model (exactly 0 here: bigram conditionals are
+        # count-scale-invariant, so disjoint extra docs don't move
+        # them); out-of-domain docs (all tokens OOV for the target)
+        # score drastically lower
+        for i in range(5):
+            assert got[i] >= 0.0
+            assert got[100 + i] < -3.0
+            assert got[i] > got[100 + i] + 3.0
+
+    def test_dsir_twin_identity(self, spark):
+        # log_w must equal lm_score(target) - lm_score(raw) exactly
+        train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+        score = spark.createDataFrame(SCORE, "doc_id long, text string")
+        tm = ngram_lm_counts(train.filter("doc_id < 3"), "text", "doc_id")
+        rm = ngram_lm_counts(train, "text", "doc_id")
+        w = {
+            r["doc_id"]: r["log_w"]
+            for r in importance_weights(score, tm, rm, "text", "doc_id").collect()
+        }
+        lt = {r["doc_id"]: r["logprob"]
+              for r in lm_score(score, *tm, "text", "doc_id").collect()}
+        lr = {r["doc_id"]: r["logprob"]
+              for r in lm_score(score, *rm, "text", "doc_id").collect()}
+        for did in w:
+            assert w[did] == pytest.approx(lt[did] - lr[did], abs=1e-12)
 
     def test_shuffle_join_mode_same_result(self, spark):
         train = spark.createDataFrame(TRAIN, "doc_id long, text string")
