@@ -1093,6 +1093,54 @@ def q_lm_filter(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_text_pipeline(spark, sf_dir):
+    """Capstone composition gate: the full training-data preparation
+    stack (pipeline/textstack.py — C4 line cleaning -> ExactSubstr span
+    dedup -> MinHash+CC near-dup canonicalization) over a corpus that
+    exercises every stage: 12-token line structure, a planted global
+    duplicate line (%5 docs), boilerplate passages (%20/%7 docs), and
+    near-dup copies (+1M ids for %10 docs, every 6th token perturbed so
+    they slip past line AND window dedup and must be caught by MinHash).
+    Oracle = the same stages chained from the independent pure-python
+    twin kernels in scripts/build_oracles.py."""
+    from cov_tiles_spark.pipeline.textstack import prepare_text_corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda x, i: F.when(i % 6 == 5, F.lit("qq")).otherwise(x),
+        ),
+        " ",
+    )
+    copies = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        perturbed.alias("text"),
+    )
+    raw = d.unionAll(copies)
+    with_boiler = raw.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 20 == 0, F.lit(" " + _BOILER_A)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" " + _BOILER_B)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    corpus = with_boiler.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), _LINE_PAT, "$1\n"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("\n" + _PLANT_LINE)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = prepare_text_corpus(
+        corpus, "text", "doc_id",
+        min_words_per_line=4, badwords=["slow"], span_k=8,
+        min_tokens_after_dedup=10, minhash_threshold=0.7,
+    )
+    return out.select("doc_id", "text", "n_tokens", "cluster").orderBy("doc_id")
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR-style importance weighting (operators/ngram_lm.py
     ``importance_weights``): target LM trained on the lang='en' docs,
@@ -1685,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_c4_clean": q_c4_clean,
         "q_lm_filter": q_lm_filter,
         "q_dsir_select": q_dsir_select,
+        "q_text_pipeline": q_text_pipeline,
         "q_semantic_dedup": q_semantic_dedup,
         "q_minhash_dedup": q_minhash_dedup,
         "q_decontaminate": q_decontaminate,
@@ -2285,6 +2334,11 @@ def oracle_sql() -> dict[str, str]:
         "q_span_dedup": f"""
             SELECT doc_id, clean_text, n_tokens, n_removed
             FROM read_parquet('{_ORACLE_DIR}/q_span_dedup.parquet')
+            ORDER BY doc_id
+        """,
+        "q_text_pipeline": f"""
+            SELECT doc_id, text, n_tokens, cluster
+            FROM read_parquet('{_ORACLE_DIR}/q_text_pipeline.parquet')
             ORDER BY doc_id
         """,
         # live twin: BOTH DSIR models retrained + rescored in SQL

@@ -166,31 +166,37 @@ def shingle_set(text: str, shingle: int = 5) -> np.ndarray:
     return np.fromiter(hs, dtype=np.uint64, count=len(hs))
 
 
-def q_minhash_dedup(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
-    corpus = planted_docs(sf_dir)
+def _minhash_sigs(texts) -> np.ndarray:
+    """64-perm MinHash signatures (same seeded permutations as the
+    operator, independent code)."""
     rng = np.random.default_rng(42)
     a = rng.integers(1, MERSENNE, 64, dtype=np.int64).astype(np.uint64)
     b = rng.integers(0, MERSENNE, 64, dtype=np.int64).astype(np.uint64)
-    ids = corpus["doc_id"].to_numpy(np.int64)
-    sigs = np.empty((len(corpus), 64), dtype=np.int64)
+    sigs = np.empty((len(texts), 64), dtype=np.int64)
     with np.errstate(over="ignore"):
-        for i, text in enumerate(corpus["text"]):
+        for i, text in enumerate(texts):
             h = shingle_set(text)
             vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(MERSENNE)
             sigs[i] = vals.min(axis=1).astype(np.int64)
-    # banded LSH: threshold 0.9 -> 8 rows x 8 bands (operator band rule);
-    # candidates = pairs agreeing exactly on >= 1 band, buckets > 1024
-    # members dropped (the operator's cap — unreachable at this corpus
-    # size, applied anyway for definitional parity)
-    rows, bands = 8, 8
+    return sigs
+
+
+def _minhash_pairs(
+    ids: np.ndarray, sigs: np.ndarray, threshold: float,
+    rows: int, bands: int, cap: int = 1024,
+) -> list[tuple[int, int, float]]:
+    """Banded-LSH candidate pairs with signature-agreement estimate >=
+    threshold — candidates = pairs agreeing exactly on >= 1 band,
+    buckets > cap members dropped (the operator's cap, applied for
+    definitional parity)."""
     buckets: dict[tuple, list[int]] = {}
-    for i in range(len(corpus)):
+    for i in range(len(ids)):
         for bi in range(bands):
             key = (bi, tuple(sigs[i, bi * rows : (bi + 1) * rows]))
             buckets.setdefault(key, []).append(i)
     cand = set()
     for members in buckets.values():
-        if len(members) > 1024:
+        if len(members) > cap:
             continue
         for ai in range(len(members)):
             for bi_ in range(ai + 1, len(members)):
@@ -203,6 +209,15 @@ def q_minhash_dedup(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
         est = float((sigs[x] == sigs[y]).sum()) / 64.0
         if est >= threshold:
             out.append((int(ids[x]), int(ids[y]), est))
+    return out
+
+
+def q_minhash_dedup(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
+    corpus = planted_docs(sf_dir)
+    ids = corpus["doc_id"].to_numpy(np.int64)
+    sigs = _minhash_sigs(list(corpus["text"]))
+    # threshold 0.9 -> 8 rows x 8 bands (operator band rule)
+    out = _minhash_pairs(ids, sigs, threshold, rows=8, bands=8)
     return pd.DataFrame(
         out, columns=["id_a", "id_b", "jaccard_est"]
     ).sort_values(["id_a", "id_b"], ignore_index=True)
@@ -1017,19 +1032,11 @@ _SPAN_BOILER_A = (
 _SPAN_BOILER_B = "subscribe to our newsletter for weekly updates delivered to you"
 
 
-def q_span_dedup(sf_dir: str, k: int = 8) -> pd.DataFrame:
-    """ExactSubstr span-dedup twin, keyed on EXACT token k-tuples (no
-    hashing at all) — stronger than the operator's 122-bit rolling hash:
-    a hash collision in operators/spandedup.py would fail this gate."""
-    d = load(sf_dir, "documents")
-    rows = []
-    for did, text in zip(d["doc_id"], d["text"]):
-        t = text
-        if did % 20 == 0:
-            t += " " + _SPAN_BOILER_A
-        if did % 7 == 0:
-            t += " " + _SPAN_BOILER_B
-        rows.append((int(did), t))
+def _exact_span_py(rows: list[tuple[int, str]], k: int) -> list[tuple]:
+    """ExactSubstr span-dedup twin core, keyed on EXACT token k-tuples
+    (no hashing at all) — stronger than the operator's 122-bit rolling
+    hash: a hash collision in operators/spandedup.py would fail the
+    gate.  Returns (id, clean_text, n_tokens, n_removed) per input row."""
     sites: dict[tuple, list] = {}
     toks = {}
     for did, text in rows:
@@ -1059,9 +1066,120 @@ def q_span_dedup(sf_dir: str, k: int = 8) -> pd.DataFrame:
             cur = max(cur, e)
         kept.extend(tk[cur:])
         out.append((did, " ".join(kept), len(tk), len(tk) - len(kept)))
+    return out
+
+
+def q_span_dedup(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    d = load(sf_dir, "documents")
+    rows = []
+    for did, text in zip(d["doc_id"], d["text"]):
+        t = text
+        if did % 20 == 0:
+            t += " " + _SPAN_BOILER_A
+        if did % 7 == 0:
+            t += " " + _SPAN_BOILER_B
+        rows.append((int(did), t))
+    out = _exact_span_py(rows, k)
     return pd.DataFrame(
         out, columns=["doc_id", "clean_text", "n_tokens", "n_removed"]
     ).astype({"doc_id": "int64", "n_tokens": "int64", "n_removed": "int64"})
+
+
+# same literals as __spark_entry__._PLANT_LINE / _LINE_PAT
+_PIPE_PLANT = "the fast table scan runs on the big cluster tonight"
+_PIPE_LINE_PAT = r"((?:\S+ ){11}\S+) "
+
+
+def q_text_pipeline(sf_dir: str) -> pd.DataFrame:
+    """Composition twin for pipeline/textstack.py: the C4-clean, span-
+    dedup, MinHash+union-find stages chained from the SAME independent
+    kernels the per-stage gates use (_exact_span_py, _minhash_sigs/
+    _minhash_pairs, the q_dup_clusters union-find rule)."""
+    import re
+
+    d = load(sf_dir, "documents")
+    # corpus construction mirrors __spark_entry__.q_text_pipeline:
+    # near-dup copies (+1M ids, every 6th token perturbed), boilerplate
+    # spans, 12-token line structure, planted global duplicate line
+    rows = []
+    for did, text in zip(d["doc_id"], d["text"]):
+        rows.append((int(did), str(text)))
+        if did % 10 == 0:
+            toks = str(text).split(" ")
+            pert = " ".join(
+                "qq" if i % 6 == 5 else t for i, t in enumerate(toks)
+            )
+            rows.append((int(did) + 1_000_000, pert))
+    line_re = re.compile(_PIPE_LINE_PAT)
+    corpus = []
+    for did, text in rows:
+        t = text
+        if did % 20 == 0:
+            t += " " + _SPAN_BOILER_A
+        if did % 7 == 0:
+            t += " " + _SPAN_BOILER_B
+        s = line_re.sub(lambda m: m.group(1) + "\n", t)
+        if did % 5 == 0:
+            s += "\n" + _PIPE_PLANT
+        corpus.append((did, s))
+
+    # stage 1: C4 clean (min 4 words/line, badword 'slow', global dedup)
+    keeper: dict[str, tuple[int, int]] = {}
+    doc_lines: dict[int, list[tuple[int, str]]] = {}
+    for did, s in corpus:
+        kept = []
+        for idx, line in enumerate(s.split("\n")):
+            ws = line.split(" ")
+            if len(ws) < 4 or "slow" in ws:
+                continue
+            kept.append((idx, line))
+            cur = keeper.get(line)
+            if cur is None or (did, idx) < cur:
+                keeper[line] = (did, idx)
+        doc_lines[did] = kept
+    cleaned = [
+        (did, "\n".join(
+            ln for idx, ln in doc_lines[did] if keeper[ln] == (did, idx)
+        ))
+        for did, _ in corpus
+    ]
+
+    # stage 2: span dedup k=8, then the min-10-token floor
+    spanned = _exact_span_py(cleaned, k=8)
+    survivors = [
+        (did, clean, n_tok - n_rm)
+        for did, clean, n_tok, n_rm in spanned
+        if n_tok - n_rm >= 10
+    ]
+
+    # stage 3: minhash pairs (threshold 0.7 -> 4 rows x 16 bands per the
+    # operator band rule) + union-find canonicalization, keep canonical
+    ids = np.array([did for did, _, _ in survivors], dtype=np.int64)
+    sigs = _minhash_sigs([c for _, c, _ in survivors])
+    prs = _minhash_pairs(ids, sigs, threshold=0.7, rows=4, bands=16)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in prs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = [
+        (did, clean, n_tok, did)
+        for did, clean, n_tok in survivors
+        if find(did) == did
+    ]
+    return pd.DataFrame(
+        out, columns=["doc_id", "text", "n_tokens", "cluster"]
+    ).sort_values("doc_id", ignore_index=True).astype(
+        {"doc_id": "int64", "n_tokens": "int64", "cluster": "int64"}
+    )
 
 
 def q_webdataset_roundtrip(sf_dir: str) -> pd.DataFrame:
@@ -1093,6 +1211,7 @@ ORACLES = {
     "q_bpe_encode": q_bpe_encode,
     "q_semantic_dedup": q_semantic_dedup,
     "q_span_dedup": q_span_dedup,
+    "q_text_pipeline": q_text_pipeline,
 }
 
 
