@@ -126,3 +126,43 @@ def test_qknn_fallback_window_is_locally_reduced(spark):
     # a MapInPandas/ArrowEvalPython node must feed it
     assert "Window" in plan
     assert "MapInPandas" in plan, plan[:2000]
+
+
+def test_c4_line_filters_precede_dedup_exchange(spark):
+    """c4_clean: the min-words/badword filters are map-side lambdas that
+    must run BEFORE the global line-dedup exchange (dropped lines never
+    shuffle), and the whole operator stays JVM-side (zero Python)."""
+    from cov_tiles_spark.operators.cleaning import c4_clean
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = _plan(c4_clean(docs, "text", "doc_id", badwords=["slow"]))
+    assert "MapInPandas" not in plan and "ArrowEval" not in plan
+    # filter on the exploded lines sits below the first exchange
+    pre_exchange = plan.split("Exchange")[-1]  # deepest fragment
+    assert "Filter" in pre_exchange and "Generate" in pre_exchange
+
+
+def test_span_dedup_windows_computed_once(spark):
+    """exact_span_dedup: the Python window-hashing pass must be persisted
+    (one InMemoryRelation feeding both the duplicate aggregation and the
+    occurrence join) — recomputing it doubles the dominant corpus stage."""
+    from cov_tiles_spark.operators.spandedup import exact_span_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = _plan(exact_span_dedup(docs, "text", "doc_id", k=8))
+    assert plan.count("InMemoryTableScan") >= 2, plan[:3000]
+    # exactly ONE MapInPandas computes hashes (the cut stage is the other
+    # python node, downstream of the join)
+    assert "InMemoryRelation" not in plan.split("InMemoryTableScan")[0]
+
+
+def test_lm_score_model_joins_broadcast(spark):
+    """lm_score(broadcast_model=True): all three count-table joins must
+    be broadcast (map-side scoring — the CCNet regime)."""
+    from cov_tiles_spark.operators.ngram_lm import lm_score, ngram_lm_counts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    model = ngram_lm_counts(docs, "text", "doc_id")
+    plan = _plan(lm_score(docs, *model, "text", "doc_id"))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
