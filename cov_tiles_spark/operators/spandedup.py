@@ -131,6 +131,7 @@ def exact_span_dedup(
     id_col: str,
     k: int = 8,
     persist_windows: bool = True,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Remove every duplicated k-token window, keeping the occurrence
     with the smallest (id, pos).  Returns one row per input document:
@@ -144,7 +145,37 @@ def exact_span_dedup(
     this trades ~2-3% of corpus size in spill for halving the dominant
     Python stage; callers that prefer recompute pass False.  The cache
     entry lives until the session drops it (the returned plan is lazy,
-    so the operator cannot unpersist it itself)."""
+    so the operator cannot unpersist it itself).
+
+    ``skew_safe`` guards the one skew exposure: a planet-hot window (a
+    boilerplate passage in a large fraction of the corpus) puts every
+    occurrence row of one (h1, h2) key into a single task of the
+    occurrences⋈dups join.  AQE's OptimizeSkewedJoin is the right tool —
+    the join is Inner, so a skewed left partition can be split with the
+    matching right partition duplicated — but the rule only pattern-
+    matches ``SMJ(Sort(shuffle stage), Sort(shuffle stage))``, and here
+    the dups side carries its FINAL AGGREGATE between its exchange and
+    the join, so the rule never fires regardless of thresholds (measured:
+    a 0.9M-occurrence hot window rides one task, 58 MiB vs 150 KiB
+    median map output — scripts/spandedup_skew_smoke.py).  Passing True
+    truncates the dups lineage with ``localCheckpoint(eager=False)``:
+    the join then re-shuffles the (duplicate-hash-sized, i.e. small)
+    dups table from a clean scan, both join children become bare shuffle
+    stages, and the skew split engages (``SortMergeJoin(skew=true)``,
+    plan-pinned in tests/test_plans.py).  Costs one extra dups-sized
+    exchange + local materialization; lineage truncation means the plan
+    below the checkpoint is not re-derivable and does not survive
+    executor loss (fine inside one job, the reason it is not the
+    default).
+
+    Adoption caveat (measured, scripts/spandedup_skew_smoke.py): AQE
+    keeps a skew replan only if its shuffle count doesn't grow.  When
+    the caller's input DataFrame feeds BOTH the window pipeline and the
+    final text join through one shared exchange (e.g. an upstream
+    ``repartition``), the replan breaks that reuse, the cost evaluator
+    counts +1 shuffle, and the proposed split is silently reverted —
+    set ``spark.sql.adaptive.forceOptimizeSkewedJoin=true`` alongside
+    ``skew_safe`` for hot corpora in that shape."""
     w = window_hash_rows(df, text_col, id_col, k)
     if persist_windows:
         from pyspark import StorageLevel
@@ -159,6 +190,8 @@ def exact_span_dedup(
         .filter(F.col("_n") >= 2)
         .select("h1", "h2", "_keeper")
     )
+    if skew_safe:
+        dups = dups.localCheckpoint(eager=False)
     removals = (
         w.join(dups, ["h1", "h2"])
         .filter(

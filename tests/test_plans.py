@@ -166,3 +166,61 @@ def test_lm_score_model_joins_broadcast(spark):
     plan = _plan(lm_score(docs, *model, "text", "doc_id"))
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_span_dedup_skew_safe_enables_aqe_split(spark):
+    """exact_span_dedup(skew_safe=True): a planet-hot window must be
+    splittable by AQE.  The default plan CANNOT be — OptimizeSkewedJoin
+    only matches SMJ(Sort(shuffle stage), Sort(shuffle stage)), and the
+    dups side carries its final aggregate between its exchange and the
+    join, so the hot window's occurrence rows ride one task regardless
+    of thresholds (measured in scripts/spandedup_skew_smoke.py).
+    skew_safe truncates the dups lineage so the rule matches; this test
+    pins SortMergeJoin(skew=true) in the final adaptive plan on a
+    corpus where every doc shares an 11-token boilerplate."""
+    from cov_tiles_spark.operators.spandedup import exact_span_dedup
+
+    hot = " ".join(f"hot{i}" for i in range(11))
+    docs = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(10)),
+                    lambda i: F.concat(
+                        F.lit("t"),
+                        F.pmod(F.xxhash64(F.col("id") * 40 + i), F.lit(997)),
+                    ),
+                ),
+                " ",
+            ),
+            F.lit(" " + hot),
+        ).alias("text"),
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "64",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        # adoption guard: AQE reverts a proposed split if the replan's
+        # shuffle count grows (it can break an input-exchange reuse);
+        # force makes the cost evaluator ignore skew-induced shuffles
+        # so this test pins the PATTERN fix, not cost-model luck
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        out = exact_span_dedup(docs, "text", "doc_id", k=8, skew_safe=True)
+        rows = out.collect()  # run THIS df's query so its plan is final
+        plan = _plan(out)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:3000]
+        # the dedup itself stayed correct: every doc lost the boilerplate
+        # windows except the keeper doc
+        assert sum(1 for r in rows if r.n_removed > 0) == len(rows) - 1
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
