@@ -1022,6 +1022,44 @@ def q_span_dedup(spark, sf_dir):
     return exact_span_dedup(corpus, "text", "doc_id", k=8).orderBy("doc_id")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk training-sequence packing (operators/packing.py
+    pack_concat): documents laid end-to-end in hash order inside 8
+    shards, cut every 256 tokens; one row per (doc, sequence) span.
+    Fully JVM-side (window prefix sum + arithmetic span explode); the
+    DuckDB twin recomputes the ENTIRE packing — hash, shard, prefix
+    sum, span generate_series — live in SQL."""
+    from cov_tiles_spark.operators.packing import pack_concat
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    spaces = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    n = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(spaces + 1)
+    docs = d.select("doc_id", n.cast("long").alias("n_tokens"))
+    return pack_concat(
+        docs, "doc_id", "n_tokens", max_len=256, num_shards=8
+    ).orderBy("doc_id", "seq")
+
+
+def q_pack_bins(spark, sf_dir):
+    """Next-fit whole-document packing (operators/packing.py pack_bins):
+    same hash order, docs never split, oversize docs flagged alone in
+    their sequence. The per-shard recurrence is sequential (sorted-stream
+    mapInPandas), so the oracle is an independent pure-python twin
+    (scripts/build_oracles.py) replaying the same deterministic
+    definition."""
+    from cov_tiles_spark.operators.packing import pack_bins
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    spaces = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    n = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(spaces + 1)
+    docs = d.select("doc_id", n.cast("long").alias("n_tokens"))
+    return pack_bins(
+        docs, "doc_id", "n_tokens", max_len=128, num_shards=8
+    ).orderBy("doc_id")
+
+
 # planted corpus-wide duplicate line for the C4-clean gate (same literal
 # in the DuckDB twin)
 _PLANT_LINE = "the fast table scan runs on the big cluster tonight"
@@ -1730,6 +1768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality": q_quality,
         "q_repetition": q_repetition,
         "q_span_dedup": q_span_dedup,
+        "q_pack_sequences": q_pack_sequences,
+        "q_pack_bins": q_pack_bins,
         "q_c4_clean": q_c4_clean,
         "q_lm_filter": q_lm_filter,
         "q_dsir_select": q_dsir_select,
@@ -2334,6 +2374,51 @@ def oracle_sql() -> dict[str, str]:
         "q_span_dedup": f"""
             SELECT doc_id, clean_text, n_tokens, n_removed
             FROM read_parquet('{_ORACLE_DIR}/q_span_dedup.parquet')
+            ORDER BY doc_id
+        """,
+        # live twin: the ENTIRE concat-and-chunk packing recomputed in
+        # SQL — portable hash (operators/sampling.py sample_hash, seed
+        # 0), shard pmod, per-shard exclusive prefix sum, span explode
+        # via generate_series.  Same integer ring, so bit-exact.
+        "q_pack_sequences": """
+            WITH toks AS (
+              SELECT doc_id,
+                cast(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE length(text) - length(replace(text, ' ', '')) + 1
+                END AS BIGINT) AS n_tokens
+              FROM documents
+            ), h AS (
+              SELECT doc_id, n_tokens,
+                cast((xor(h1, h1 >> 15) * 2246822519) % 2147483648
+                     AS BIGINT) AS hh
+              FROM (
+                SELECT doc_id, n_tokens,
+                  (((((doc_id % 2147483648) + 2147483648) % 2147483648
+                     + 1) % 2147483648) * 2654435761 + 1)
+                    % 2147483648 AS h1
+                FROM toks)
+              WHERE n_tokens > 0
+            ), placed AS (
+              SELECT doc_id, n_tokens, cast(hh % 8 AS INT) AS shard, hh,
+                cast(coalesce(sum(n_tokens) OVER (
+                  PARTITION BY hh % 8 ORDER BY hh, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS off
+              FROM h
+            )
+            SELECT doc_id, shard, seq,
+              cast(greatest(off, seq*256) - off AS BIGINT) AS tok_start,
+              cast(least(off + n_tokens, (seq+1)*256) - off AS BIGINT)
+                AS tok_end,
+              cast(greatest(off, seq*256) - seq*256 AS BIGINT) AS seq_off
+            FROM placed,
+              unnest(generate_series(off // 256,
+                                     (off + n_tokens - 1) // 256)) AS t(seq)
+            ORDER BY doc_id, seq
+        """,
+        "q_pack_bins": f"""
+            SELECT doc_id, shard, seq, seq_pos, n_tokens, oversize
+            FROM read_parquet('{_ORACLE_DIR}/q_pack_bins.parquet')
             ORDER BY doc_id
         """,
         "q_text_pipeline": f"""

@@ -1182,6 +1182,59 @@ def q_text_pipeline(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_pack_bins(
+    sf_dir: str, max_len: int = 128, num_shards: int = 8, seed: int = 0
+) -> pd.DataFrame:
+    """Independent next-fit packing twin (operators/packing.py
+    pack_bins): own hash replica, own sequential replay.  Token count
+    uses the same space-count arithmetic as the q_token_counts gate."""
+    ring = 1 << 31
+
+    def hsh(key: int) -> int:
+        x0 = ((key % ring) + ring) % ring
+        x = (x0 + (seed * 2_654_435_769 + 1) % ring) % ring
+        h1 = (x * 2654435761 + 1) % ring
+        h2 = h1 ^ (h1 >> 15)
+        return (h2 * 2246822519) % ring
+
+    docs = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    shards: dict[int, list] = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        n = 0 if len(text.strip()) == 0 else text.count(" ") + 1
+        if n <= 0:
+            continue
+        h = hsh(int(did))
+        shards.setdefault(h % num_shards, []).append((h, int(did), n))
+    rows = []
+    for sh in sorted(shards):
+        seq = fill = pos = 0
+        for _, did, ln in sorted(shards[sh]):
+            if ln > max_len:
+                if fill > 0:
+                    seq += 1
+                rows.append((did, sh, seq, 0, ln, True))
+                seq += 1
+                fill = pos = 0
+                continue
+            if fill + ln > max_len:
+                seq += 1
+                fill = pos = 0
+            rows.append((did, sh, seq, pos, ln, False))
+            fill += ln
+            pos += 1
+    return pd.DataFrame(
+        rows,
+        columns=["doc_id", "shard", "seq", "seq_pos", "n_tokens", "oversize"],
+    ).sort_values("doc_id", ignore_index=True).astype(
+        {
+            "doc_id": "int64", "shard": "int32", "seq": "int64",
+            "seq_pos": "int32", "n_tokens": "int64", "oversize": "bool",
+        }
+    )
+
+
 def q_webdataset_roundtrip(sf_dir: str) -> pd.DataFrame:
     """Expectation for the WebDataset shard sink→source roundtrip: the
     same independent scalar image stack as q_image_invariants, reduced
@@ -1211,6 +1264,7 @@ ORACLES = {
     "q_bpe_encode": q_bpe_encode,
     "q_semantic_dedup": q_semantic_dedup,
     "q_span_dedup": q_span_dedup,
+    "q_pack_bins": q_pack_bins,
     "q_text_pipeline": q_text_pipeline,
 }
 
