@@ -1041,6 +1041,36 @@ def q_pack_sequences(spark, sf_dir):
     ).orderBy("doc_id", "seq")
 
 
+def q_aspect_buckets(spark, sf_dir):
+    """Aspect-ratio bucketing + batch packing for variable-resolution
+    image training (operators/packing.py aspect_buckets): each image
+    goes to the bucket with the nearest aspect ratio (argmin of
+    |w/h - bw/bh| in double — both engines evaluate the identical IEEE
+    expression), then deterministic hash-ordered batches of 16 inside
+    (bucket, shard). Image dims derive from the id by the synth
+    corpus's own 3x3 grid (io/synth.py row_params) so the twin can
+    rebuild them in SQL."""
+    from cov_tiles_spark.operators.packing import aspect_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    dims = d.select(
+        F.col("doc_id").alias("image_id"),
+        F.element_at(
+            F.array(F.lit(16), F.lit(32), F.lit(64)),
+            F.pmod(F.col("doc_id"), F.lit(3)).cast("int") + 1,
+        ).alias("w"),
+        F.element_at(
+            F.array(F.lit(16), F.lit(32), F.lit(48)),
+            F.pmod(
+                (F.col("doc_id") / 3).cast("long"), F.lit(3)
+            ).cast("int") + 1,
+        ).alias("h"),
+    )
+    return aspect_buckets(
+        dims, "image_id", "w", "h", batch_size=16, num_shards=8
+    ).orderBy("image_id")
+
+
 def q_pack_bins(spark, sf_dir):
     """Next-fit whole-document packing (operators/packing.py pack_bins):
     same hash order, docs never split, oversize docs flagged alone in
@@ -1770,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_dedup": q_span_dedup,
         "q_pack_sequences": q_pack_sequences,
         "q_pack_bins": q_pack_bins,
+        "q_aspect_buckets": q_aspect_buckets,
         "q_c4_clean": q_c4_clean,
         "q_lm_filter": q_lm_filter,
         "q_dsir_select": q_dsir_select,
@@ -2420,6 +2451,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard, seq, seq_pos, n_tokens, oversize
             FROM read_parquet('{_ORACLE_DIR}/q_pack_bins.parquet')
             ORDER BY doc_id
+        """,
+        # live twin: bucket argmin + hash-ordered batch packing
+        # recomputed in SQL (same double ratio expression, same
+        # portable hash, same window arithmetic)
+        "q_aspect_buckets": """
+            WITH dims AS (
+              SELECT doc_id AS image_id,
+                [16, 32, 64][cast(doc_id % 3 AS INT) + 1] AS w,
+                [16, 32, 48][cast((doc_id // 3) % 3 AS INT) + 1] AS h
+              FROM documents
+            ), hsh AS (
+              SELECT image_id, w, h,
+                cast((xor(h1, h1 >> 15) * 2246822519) % 2147483648
+                     AS BIGINT) AS hh
+              FROM (
+                SELECT image_id, w, h,
+                  (((((image_id % 2147483648) + 2147483648) % 2147483648
+                     + 1) % 2147483648) * 2654435761 + 1)
+                    % 2147483648 AS h1
+                FROM dims)
+            ), buckets(i, bw, bh) AS (
+              VALUES (0,256,256),(1,288,224),(2,224,288),(3,320,192),
+                     (4,192,320),(5,384,128),(6,128,384)
+            ), best AS (
+              SELECT image_id, hh, i, bw, bh
+              FROM hsh CROSS JOIN buckets
+              QUALIFY row_number() OVER (
+                PARTITION BY image_id
+                ORDER BY abs(cast(w AS DOUBLE)/cast(h AS DOUBLE)
+                             - cast(bw AS DOUBLE)/cast(bh AS DOUBLE)), i
+              ) = 1
+            )
+            SELECT image_id, cast(i AS INT) AS bucket,
+              cast(bw AS INT) AS bucket_w, cast(bh AS INT) AS bucket_h,
+              cast(hh % 8 AS INT) AS shard,
+              cast((row_number() OVER (
+                 PARTITION BY i, hh % 8 ORDER BY hh, image_id) - 1) // 16
+                 AS BIGINT) AS batch,
+              cast((row_number() OVER (
+                 PARTITION BY i, hh % 8 ORDER BY hh, image_id) - 1) % 16
+                 AS INT) AS batch_pos
+            FROM best ORDER BY image_id
         """,
         "q_text_pipeline": f"""
             SELECT doc_id, text, n_tokens, cluster

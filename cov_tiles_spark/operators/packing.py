@@ -214,6 +214,88 @@ def pack_bins(
     )
 
 
+# SDXL-style resolution buckets (ratio ladder ~0.33 .. 3.0); callers
+# training at other base resolutions pass their own list — only the
+# ratios matter for assignment.
+DEFAULT_ASPECT_BUCKETS = [
+    (256, 256), (288, 224), (224, 288), (320, 192), (192, 320),
+    (384, 128), (128, 384),
+]
+
+
+def aspect_buckets(
+    df: DataFrame,
+    id_col: str,
+    w_col: str,
+    h_col: str,
+    buckets: list[tuple[int, int]] | None = None,
+    batch_size: int = 16,
+    num_shards: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Aspect-ratio bucketing + batch packing for image training.
+
+    Variable-resolution image corpora are trained in fixed-shape
+    batches: every image is assigned to the resolution bucket whose
+    aspect ratio is nearest (it will be resized/cropped to that shape),
+    then bucket members are grouped into training batches of
+    ``batch_size``.  Returns one row per image: ``(id, bucket,
+    bucket_w, bucket_h, shard, batch, batch_pos)``.
+
+    Assignment is a map-only argmin of ``|w/h - bw/bh|`` (double; both
+    engines evaluate the identical IEEE expression, so the driver gate
+    can recompute it in SQL), ties to the lowest bucket index.  Batching
+    is deterministic: images ordered by ``(hash(id), id)`` inside
+    (bucket, shard) — the hash doubles as the shuffle randomization —
+    and cut every ``batch_size``.
+
+    Scale: the only shuffle is the window exchange keyed on (bucket,
+    shard); without the shard salt a 7-bucket corpus would serialize
+    into 7 window partitions, so parallelism is |buckets| x
+    ``num_shards`` and batch ids are (bucket, shard)-local, exactly the
+    per-shard independence the packing operators above use.
+    """
+    buckets = buckets or DEFAULT_ASPECT_BUCKETS
+    aspect = F.col(w_col).cast("double") / F.col(h_col).cast("double")
+    cands = F.array(
+        *[
+            F.struct(
+                F.abs(aspect - F.lit(float(bw) / float(bh))).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, (bw, bh) in enumerate(buckets)
+        ]
+    )
+    best = F.array_min(cands)["i"]
+    bw = F.element_at(
+        F.array(*[F.lit(bw) for bw, _ in buckets]), best + 1
+    )
+    bh = F.element_at(
+        F.array(*[F.lit(bh) for _, bh in buckets]), best + 1
+    )
+    h = sample_hash(F.col(id_col), seed)
+    s = df.select(
+        F.col(id_col),
+        best.alias("bucket"),
+        bw.alias("bucket_w"),
+        bh.alias("bucket_h"),
+        F.pmod(h, F.lit(num_shards)).cast("int").alias("shard"),
+        h.alias("_h"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("bucket", "shard").orderBy("_h", id_col)
+    )
+    return s.withColumn("_rn", rn - 1).select(
+        id_col,
+        "bucket",
+        "bucket_w",
+        "bucket_h",
+        "shard",
+        (F.col("_rn") / batch_size).cast("long").alias("batch"),
+        (F.col("_rn") % batch_size).cast("int").alias("batch_pos"),
+    )
+
+
 def packing_stats(packed: DataFrame, max_len: int) -> DataFrame:
     """Fill-ratio summary per shard for a ``pack_bins`` result: number
     of sequences, docs, tokens, and mean fill (excluding each shard's

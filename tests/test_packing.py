@@ -193,3 +193,87 @@ def test_packing_stats(docs):
     for r in st:
         assert 0.5 <= r.mean_fill <= 1.0
         assert r.n_docs >= r.n_seqs  # no split => at least one doc per seq
+
+
+def _aspect_py(rows, buckets, batch_size, num_shards, seed=0):
+    """Independent replay of aspect_buckets: argmin |w/h - bw/bh|,
+    tie to lowest index; hash-ordered batches inside (bucket, shard)."""
+    assigned = defaultdict(list)
+    for i, w, h in rows:
+        d, bi = min(
+            (abs(w / h - bw / bh), j) for j, (bw, bh) in enumerate(buckets)
+        )
+        hh = _hash_py(i, seed)
+        assigned[(bi, hh % num_shards)].append((hh, i, bi))
+    out = []
+    for (bi, sh), mem in assigned.items():
+        mem.sort()
+        for rn, (_, i, _) in enumerate(mem):
+            out.append(
+                (i, bi, buckets[bi][0], buckets[bi][1], sh,
+                 rn // batch_size, rn % batch_size)
+            )
+    return sorted(out)
+
+
+def test_aspect_buckets_matches_python_twin(spark):
+    from cov_tiles_spark.operators.packing import (
+        DEFAULT_ASPECT_BUCKETS,
+        aspect_buckets,
+    )
+
+    dims = spark.range(2000).select(
+        F.col("id").alias("image_id"),
+        F.element_at(
+            F.array(F.lit(16), F.lit(32), F.lit(64)),
+            F.pmod(F.col("id"), F.lit(3)).cast("int") + 1,
+        ).alias("w"),
+        F.element_at(
+            F.array(F.lit(16), F.lit(32), F.lit(48)),
+            F.pmod((F.col("id") / 3).cast("long"), F.lit(3)).cast("int") + 1,
+        ).alias("h"),
+    )
+    got = sorted(
+        tuple(r)
+        for r in aspect_buckets(
+            dims, "image_id", "w", "h", batch_size=8, num_shards=4
+        ).collect()
+    )
+    rows = [
+        (i, (16, 32, 64)[i % 3], (16, 32, 48)[(i // 3) % 3])
+        for i in range(2000)
+    ]
+    assert got == _aspect_py(rows, DEFAULT_ASPECT_BUCKETS, 8, 4)
+
+
+def test_aspect_buckets_batches_well_formed(spark):
+    from cov_tiles_spark.operators.packing import aspect_buckets
+
+    dims = spark.range(1000).select(
+        F.col("id").alias("image_id"),
+        (F.lit(10) + F.pmod(F.col("id"), F.lit(50))).alias("w"),
+        (F.lit(10) + F.pmod(F.col("id") * 7, F.lit(50))).alias("h"),
+    )
+    out = aspect_buckets(
+        dims, "image_id", "w", "h", batch_size=8, num_shards=4
+    )
+    per_batch = out.groupBy("bucket", "shard", "batch").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("batch_pos").alias("npos"),
+        F.max("batch_pos").alias("mx"),
+    )
+    # positions are 0..n-1 with no duplicates, batches never exceed 8
+    bad = per_batch.filter(
+        (F.col("n") > 8) | (F.col("npos") != F.col("n"))
+        | (F.col("mx") != F.col("n") - 1)
+    ).count()
+    assert bad == 0
+    # only the LAST batch of each (bucket, shard) may be partial
+    partials = (
+        per_batch.filter(F.col("n") < 8)
+        .groupBy("bucket", "shard")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert partials == 0
