@@ -1714,6 +1714,40 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Domain-mixture sampling with replacement (operators/sampling.py
+    mixture_sample): each document of source s is emitted
+    floor(w_s) + Bernoulli(frac(w_s)) times with an epoch index — the
+    epochs-per-domain mixing rule of training-data pipelines. The coin
+    is the portable integer hash, so the DuckDB twin replays the exact
+    multiplicity (whole copies + the same fractional keep set) and the
+    identical 0..n-1 epoch expansion via unnest(range(n))."""
+    from cov_tiles_spark.operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    weights = {"src0": 2.5, "src1": 1.0, "src2": 0.25, "src3": 0.0}
+    return (
+        mixture_sample(
+            d, "source", weights, key_col="doc_id", default_weight=0.5
+        )
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
+
+
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle -> shard export assignment
+    (operators/sampling.py shuffle_assign): shard by the TOP bits of
+    the portable hash (multiply-shift), position by rank on (hash,
+    doc_id) within the shard — one fixed uniform permutation of the
+    corpus, re-derivable per row on any engine. The DuckDB twin runs
+    the identical integer formula + window rank."""
+    from cov_tiles_spark.operators.sampling import shuffle_assign
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return shuffle_assign(d, "doc_id", n_shards=8).orderBy("shard", "pos")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified Bernoulli sample over documents
     (operators/sampling.py): per-source rates via broadcast rate table,
@@ -1828,6 +1862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_stratified_sample": q_stratified_sample,
         "q_sample_per_group": q_sample_per_group,
+        "q_mixture_sample": q_mixture_sample,
+        "q_shuffle_shards": q_shuffle_shards,
     }
 
 
@@ -2798,6 +2834,44 @@ def oracle_sql() -> dict[str, str]:
                     % 2147483648 AS h1
                 FROM documents))
             WHERE rank <= 5 ORDER BY source, rank
+        """,
+        # mixture weights {src0: 2.5, src1: 1.0, src2: 0.25, src3: 0.0},
+        # default 0.5 -> whole copies + one extra iff hash < frac-threshold;
+        # epoch expansion via unnest(range(n)) (0..n-1, bigint, matches
+        # Spark's sequence(0L, n-1))
+        "q_mixture_sample": f"""
+            SELECT doc_id, source, epoch FROM (
+              SELECT doc_id, source,
+                     unnest(range(
+                       (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+                             WHEN 'src2' THEN 0 WHEN 'src3' THEN 0
+                             ELSE 0 END)
+                       + (CASE WHEN ({_hash_sql("doc_id", 0)}) <
+                           (CASE source
+                              WHEN 'src0' THEN 1073741824
+                              WHEN 'src1' THEN 0
+                              WHEN 'src2' THEN 536870912
+                              WHEN 'src3' THEN 0
+                              ELSE 1073741824 END)
+                          THEN 1 ELSE 0 END)
+                     )) AS epoch
+              FROM documents)
+            ORDER BY doc_id, epoch
+        """,
+        # shard = multiply-shift on the TOP hash bits ((h * 8) >> 31);
+        # pos = dense 0-based rank on (h, doc_id) within the shard
+        "q_shuffle_shards": f"""
+            SELECT doc_id, source, shard,
+                   cast(row_number() OVER (
+                     PARTITION BY shard ORDER BY h, doc_id
+                   ) - 1 AS bigint) AS pos
+            FROM (
+              SELECT doc_id, source,
+                     ({_hash_sql("doc_id", 0)}) AS h,
+                     cast((({_hash_sql("doc_id", 0)}) * 8) >> 31 AS int)
+                       AS shard
+              FROM documents)
+            ORDER BY shard, pos
         """,
     }
     # gen-B roundtrip must reproduce the identical feature table

@@ -150,3 +150,108 @@ def sample_per_group(
     good = cand.join(complete, group_cols, "left_semi").drop("_h", "_cut")
     rest = base.join(complete, group_cols, "left_anti")
     return good.unionByName(ranked(rest).drop("_h"))
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    default_weight: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Domain-mixture sampling **with replacement**: a row of stratum
+    ``s`` with weight ``w = weights[s]`` is emitted
+    ``floor(w) + Bernoulli(frac(w))`` times — the standard
+    epochs-per-domain mixing rule (a 2.5-weighted domain contributes
+    every row twice plus a deterministic half of the rows a third
+    time). Each copy carries an ``epoch`` column (0..n-1) so downstream
+    shuffles / augmentations can rotate seeds per pass instead of
+    emitting byte-identical repeats.
+
+    ``stratified_sample`` is the ``w <= 1`` special case (no copies, no
+    epoch column). Determinism: the fractional coin is the same
+    portable hash as every other sampler here
+    (``hash(key, seed) < floor(frac(w) * 2^31)``), so the decision
+    replays identically on every run, partitioning, and engine.
+
+    Scale shape: weight table on a broadcast join, the copy fan-out is
+    a map-side ``explode(sequence(...))`` — no shuffle at all; output
+    size is exactly ``sum_s w_s * |s|`` in expectation, with the
+    integer part exact.
+    """
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative mixture weight for {s!r}: {w}")
+    if default_weight < 0:
+        raise ValueError(f"negative default_weight: {default_weight}")
+    spark = df.sparkSession
+    rows = [
+        (s, int(w), threshold(w - int(w))) for s, w in weights.items()
+    ]
+    rdf = spark.createDataFrame(
+        rows, f"{strata_col} string, _whole long, _fthresh long"
+    )
+    d_whole = int(default_weight)
+    d_fthresh = threshold(default_weight - d_whole)
+    n = F.col("_whole") + F.when(
+        sample_hash(F.col(key_col), seed) < F.col("_fthresh"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.join(F.broadcast(rdf), strata_col, "left")
+        .withColumn("_whole", F.coalesce(F.col("_whole"), F.lit(d_whole)))
+        .withColumn(
+            "_fthresh", F.coalesce(F.col("_fthresh"), F.lit(d_fthresh))
+        )
+        .withColumn("_n", n)
+        .filter(F.col("_n") > 0)
+        # _n >= 1 here, so sequence(0, _n - 1) never descends (the ANSI
+        # start>stop trap — CLAUDE.md gotcha — needs stop < start)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_n") - 1)),
+        )
+        .drop("_whole", "_fthresh", "_n")
+    )
+
+
+def shuffle_assign(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle for training export: order the
+    corpus by a portable hash of the key and split it into ``n_shards``
+    contiguous shards. Adds ``shard`` (int, 0..n_shards-1) and ``pos``
+    (long, 0-based dense position within the shard); reading shards in
+    id order and each shard in ``pos`` order replays one fixed uniform
+    permutation of the corpus — re-derivable per row on any engine, so
+    a resumed export writes byte-identical shards.
+
+    ``shard = (hash * n_shards) >> 31`` — a multiply-shift on the TOP
+    hash bits (the low bits of the multiplicative mix mis-distribute;
+    measured 14% HLL bias — CLAUDE.md gotcha), so shard sizes are
+    binomial-uniform. ``pos`` ranks by ``(hash, key)`` — a total order
+    (key is unique), hence no tie ambiguity.
+
+    Scale shape: the shard id is map-only column arithmetic; the
+    within-shard rank is a hash-partitioned window — physically a
+    repartition(shard) + per-partition sort, i.e. the classic
+    distributed shuffle-export plan. There is NO global sort barrier:
+    each shard sorts independently (|corpus| / n_shards rows), so the
+    plan scales by raising n_shards with the corpus.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    h = sample_hash(F.col(key_col), seed)
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(key_col))
+    return (
+        df.withColumn("_h", h)
+        .withColumn(
+            "shard",
+            F.shiftright(F.col("_h") * F.lit(n_shards), 31).cast("int"),
+        )
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_h")
+    )

@@ -451,6 +451,93 @@ class TestSampling:
         overlap = len(a & b) / max(len(a), 1)
         assert overlap < 0.6, overlap
 
+    def test_mixture_sample_multiplicities(self, spark):
+        """floor(w) whole copies per row, plus Bernoulli(frac(w)) extras;
+        epoch indices 0..n-1; w=0 drops; determinism across partitioning."""
+        from cov_tiles_spark.operators.sampling import mixture_sample
+
+        df = self._docs(spark, n=4000, groups=4)  # 1000 per source
+        out = mixture_sample(
+            df, "source",
+            {"src0": 2.5, "src1": 1.0, "src2": 0.25, "src3": 0.0},
+            key_col="doc_id",
+        )
+        rows = out.collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r.source, {}).setdefault(r.doc_id, []).append(r.epoch)
+        assert "src3" not in per  # weight 0 drops everything
+        # src1 w=1.0: exactly one copy each, epoch 0
+        assert len(per["src1"]) == 1000
+        assert all(v == [0] for v in per["src1"].values())
+        # src0 w=2.5: every row >=2 copies, ~half get a third
+        counts0 = [len(v) for v in per["src0"].values()]
+        assert len(counts0) == 1000 and all(c in (2, 3) for c in counts0)
+        assert abs(sum(counts0) / 1000 - 2.5) < 0.1
+        for v in per["src0"].values():
+            assert sorted(v) == list(range(len(v)))  # contiguous epochs
+        # src2 w=0.25: only the Bernoulli quarter survive, 1 copy each
+        counts2 = [len(v) for v in per["src2"].values()]
+        assert all(c == 1 for c in counts2)
+        assert abs(len(counts2) / 1000 - 0.25) < 0.06
+        # partitioning-independent
+        again = sorted(
+            (r.doc_id, r.epoch)
+            for r in mixture_sample(
+                df.repartition(13), "source",
+                {"src0": 2.5, "src1": 1.0, "src2": 0.25, "src3": 0.0},
+                key_col="doc_id",
+            ).collect()
+        )
+        assert again == sorted((r.doc_id, r.epoch) for r in rows)
+
+    def test_mixture_sample_default_weight_and_validation(self, spark):
+        from cov_tiles_spark.operators.sampling import mixture_sample
+
+        df = self._docs(spark, n=2000, groups=4)
+        out = mixture_sample(
+            df, "source", {"src0": 1.0}, key_col="doc_id", default_weight=1.5
+        )
+        per = {
+            r.source: r.n
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert per["src0"] == 500
+        for s in ("src1", "src2", "src3"):  # 1.5: 500 + ~250
+            assert 600 < per[s] < 900, per
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            mixture_sample(df, "source", {"src0": -1.0}, key_col="doc_id")
+
+    def test_shuffle_assign_permutation_and_balance(self, spark):
+        """Every row lands in exactly one (shard, pos) slot, pos is dense
+        0..k-1 per shard, shards are near-balanced, and the permutation is
+        identical across partitionings (resumable export)."""
+        from cov_tiles_spark.operators.sampling import shuffle_assign
+
+        df = self._docs(spark, n=8000)
+        out = shuffle_assign(df, "doc_id", n_shards=8).collect()
+        assert len(out) == 8000
+        per = {}
+        for r in out:
+            per.setdefault(r.shard, []).append((r.pos, r.doc_id))
+        assert set(per) == set(range(8))
+        for shard, slots in per.items():
+            poss = sorted(p for p, _ in slots)
+            assert poss == list(range(len(slots)))  # dense 0-based
+            assert abs(len(slots) - 1000) < 150  # binomial balance
+        # shard order is NOT key order (it's a shuffle)
+        s0_ids = [d for _, d in sorted(per[0])]
+        assert s0_ids != sorted(s0_ids)
+        again = sorted(
+            (r.doc_id, r.shard, r.pos)
+            for r in shuffle_assign(
+                df.repartition(17), "doc_id", n_shards=8
+            ).collect()
+        )
+        assert again == sorted((r.doc_id, r.shard, r.pos) for r in out)
+
 
 def test_repetition_stats_hand_fractions(spark):
     """Gopher/C4-style repetition fractions against hand-computed
