@@ -1442,6 +1442,44 @@ def q_pq_rerank(spark, sf_dir):
     ).select("rank", "vec_id")
 
 
+def q_retrieval_eval(spark, sf_dir):
+    """Embedding-retrieval eval (similarity #4): label-match recall@10 /
+    precision@10 / MRR per label over a deterministic hash-sampled query
+    set (operators/similarity.py retrieval_eval). Exact cosine top-k,
+    self excluded, broadcast queries + per-partition local top-k before
+    the per-query window (the knn monoid reduction); rank key
+    round(cosine, 6) + vec_id tiebreak so the DuckDB twin (same
+    formulas, same integer hash sample) ranks identically."""
+    from cov_tiles_spark.operators.similarity import retrieval_eval
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return retrieval_eval(
+        emb, "embedding", "vec_id", "label", k=10, query_rate=0.1, seed=5
+    )
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (similarity #5): per sampled
+    query, the exact top-5 most-similar DIFFERENT-label embeddings
+    (operators/similarity.py hard_negatives — different-label filter
+    BEFORE the top-k reduction, so exact at any scale with no candidate
+    shortlist). Cosine stays out of the output hash (rank determinism
+    via round-6 key + id tiebreak, the q_cosine_topk device)."""
+    from cov_tiles_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        hard_negatives(
+            emb, "embedding", "vec_id", "label",
+            k=5, query_rate=0.05, seed=5,
+        )
+        .select(
+            "query_id", "neg_rank", F.col("id").alias("vec_id"), "label"
+        )
+        .orderBy("query_id", "neg_rank")
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs via hyperplane LSH (dedup #5;
     rows-only — pandas-UDF signatures)."""
@@ -1849,6 +1887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ivf_topk": q_ivf_topk,
         "q_pq_rerank": q_pq_rerank,
+        "q_retrieval_eval": q_retrieval_eval,
+        "q_hard_negatives": q_hard_negatives,
         "q_embedding_near_dups": q_embedding_near_dups,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_image_invariants": q_image_invariants,
@@ -2397,6 +2437,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT cast(row_number() OVER (ORDER BY c DESC, vec_id) as int) AS rank,
                    vec_id
             FROM scored ORDER BY c DESC, vec_id LIMIT 10
+        """,
+        # hash-sampled query set (rate 0.1, seed 5), exact top-10 by
+        # round(cosine, 6) with vec_id tiebreak, self excluded; per-query
+        # hit/precision/first-relevant-rank, averaged per query label
+        "q_retrieval_eval": f"""
+            WITH e AS (
+              SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            q AS (
+              SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e
+              WHERE ({_hash_sql("vec_id", 5)}) < 214748364),
+            ranked AS (
+              SELECT qid, qlabel, e.label AS plabel,
+                     row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY round(
+                         list_dot_product(e.v, qv)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(qv, qv))), 6) DESC,
+                         e.vec_id) AS rnk
+              FROM q CROSS JOIN e WHERE e.vec_id != qid),
+            perq AS (
+              SELECT qid, qlabel,
+                     max(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) AS hit,
+                     sum(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END)
+                       / 10.0 AS prec,
+                     coalesce(1.0 / min(CASE WHEN plabel = qlabel
+                                             THEN rnk END), 0.0) AS rr
+              FROM ranked WHERE rnk <= 10 GROUP BY qid, qlabel)
+            SELECT qlabel AS label, count(*) AS n_queries,
+                   round(avg(hit), 6) AS recall_at_k,
+                   round(avg(prec), 6) AS precision_at_k,
+                   round(avg(rr), 6) AS mrr
+            FROM perq GROUP BY qlabel ORDER BY label
+        """,
+        # hash-sampled queries (rate 0.05, seed 5); different-label
+        # filter BEFORE the top-k, so the rank is over negatives only
+        "q_hard_negatives": f"""
+            WITH e AS (
+              SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            q AS (
+              SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e
+              WHERE ({_hash_sql("vec_id", 5)}) < 107374182),
+            ranked AS (
+              SELECT qid, e.vec_id AS vec_id, e.label AS label,
+                     cast(row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY round(
+                         list_dot_product(e.v, qv)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(qv, qv))), 6) DESC,
+                         e.vec_id) AS int) AS neg_rank
+              FROM q CROSS JOIN e
+              WHERE e.vec_id != qid AND e.label != qlabel)
+            SELECT qid AS query_id, neg_rank, vec_id, label
+            FROM ranked WHERE neg_rank <= 5 ORDER BY query_id, neg_rank
         """,
         # The five queries below have pandas-UDF kernels no ANSI SQL can
         # express; their oracles are committed parquet tables produced by

@@ -9,6 +9,11 @@
                          re-rank — a 100 TB path: the big side is
                          scanned once, bucketed, and only candidate
                          buckets are re-ranked exactly.
+- ``retrieval_eval``   : label-match recall@k / precision@k / MRR over a
+                         deterministic query sample — the acceptance
+                         gate for embedding-based curation.
+- ``hard_negatives``   : per-query top-k most-similar DIFFERENT-label
+                         items (contrastive-training pair mining).
 - ``ivf_train_centroids`` / ``ivf_assign`` / ``ivf_topk`` : IVF
                          (inverted-file) ANN — spherical k-means coarse
                          quantizer trained on a bounded sample, corpus
@@ -243,6 +248,150 @@ def ivf_topk(
         ))
         .select("rank", "id", "cosine")
     )
+
+
+def _self_retrieval_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int,
+    query_rate: float,
+    seed: int,
+    order_round: int,
+    different_label_only: bool = False,
+) -> DataFrame:
+    """Shared core of :func:`retrieval_eval` / :func:`hard_negatives`:
+    exact cosine top-k neighbors (self excluded) for a deterministic
+    hash-sampled query subset of the corpus.
+
+    Scale shape: the query set is small by construction (rate-bounded
+    portable hash sample — reproducible across runs/engines), so it
+    rides a **broadcast** against the corpus: the 100 TB side is scanned
+    once and never shuffled. The per-query top-k is a ``row_number``
+    window + ``rank <= k`` filter, which Catalyst compiles to
+    ``WindowGroupLimit`` with a **Partial** pass before the exchange —
+    each input partition keeps only k rows per query JVM-side, so the
+    shuffle carries <= partitions x queries x k rows instead of the full
+    cartesian (the same local-then-global monoid as
+    ``spatial/knn.py _local_topk``, but in whole-stage codegen instead
+    of the Arrow channel; plan-asserted in tests/test_plans.py).
+
+    Rank key is ``round(cosine, order_round)`` with id tiebreak — the
+    same cross-engine rank-stability device as :func:`cosine_topk`.
+    Returns (query_id, query_label, rank, id, label, cosine), rank <= k.
+    """
+    from cov_tiles_spark.operators.sampling import sample_hash, threshold
+
+    corpus = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).alias("vec"),
+    )
+    queries = corpus.filter(
+        sample_hash(F.col("id"), seed) < F.lit(threshold(query_rate))
+    ).select(
+        F.col("id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("vec").alias("q_vec"),
+    )
+    cos = _dot_expr(F.col("vec"), F.col("q_vec")) / (
+        _norm_expr(F.col("vec")) * _norm_expr(F.col("q_vec"))
+    )
+    pairs = corpus.join(F.broadcast(queries)).filter(
+        F.col("id") != F.col("query_id")
+    )
+    if different_label_only:
+        # filter BEFORE the top-k reduction: top-k over the filtered
+        # stream is exact by construction (no candidate-shortlist bound)
+        pairs = pairs.filter(F.col("label") != F.col("query_label"))
+    scored = pairs.withColumn("cosine", F.round(cos, order_round)).select(
+        "query_id", "query_label", "id", "label", "cosine"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "query_label", "rank", "id", "label", "cosine")
+    )
+
+
+def retrieval_eval(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 10,
+    query_rate: float = 0.1,
+    seed: int = 5,
+    order_round: int = 6,
+) -> DataFrame:
+    """Embedding-retrieval quality evaluation: label-match recall@k,
+    precision@k, and MRR over a deterministic query sample.
+
+    The standard acceptance gate for embedding-based curation (semantic
+    dedup, ANN index builds, CLIP-style filtering): sample queries from
+    the corpus itself, retrieve exact top-k by cosine (self excluded),
+    and score a retrieval as relevant when the neighbor carries the
+    query's label. Per query: hit = any same-label neighbor in top-k,
+    precision = same-label fraction of the k slots, reciprocal rank =
+    1/rank of the first same-label neighbor (0 if none). Aggregated per
+    query label -> (label, n_queries, recall_at_k, precision_at_k, mrr).
+
+    Everything after the broadcast-scan core is a tiny per-query table;
+    metrics are exact and engine-portable (rank key rounded, integer
+    tiebreaks, fixed-dp output).
+    """
+    top = _self_retrieval_topk(
+        df, vec_col, id_col, label_col, k, query_rate, seed, order_round
+    )
+    hit = (F.col("label") == F.col("query_label")).cast("int")
+    per_q = top.groupBy("query_id", "query_label").agg(
+        F.max(hit).alias("_hit"),
+        (F.sum(hit) / F.lit(float(k))).alias("_prec"),
+        F.coalesce(
+            F.lit(1.0) / F.min(F.when(hit == 1, F.col("rank"))), F.lit(0.0)
+        ).alias("_rr"),
+    )
+    return (
+        per_q.groupBy(F.col("query_label").alias("label"))
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.round(F.avg("_hit"), 6).alias("recall_at_k"),
+            F.round(F.avg("_prec"), 6).alias("precision_at_k"),
+            F.round(F.avg("_rr"), 6).alias("mrr"),
+        )
+        .orderBy("label")
+    )
+
+
+def hard_negatives(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+    query_rate: float = 0.1,
+    seed: int = 5,
+    order_round: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per sampled query,
+    the ``k`` most-similar corpus items with a DIFFERENT label — the
+    pairs a contrastive loss learns most from.
+
+    Exact (not shortlist-bounded): the different-label filter is applied
+    to the candidate stream BEFORE the top-k reduction, so the result is
+    the true top-k of the filtered set at any scale — the
+    filter-then-reduce ordering the q_pq_rerank sf0.1 lesson mandates
+    for gate-facing operators. Returns (query_id, query_label, neg_rank,
+    id, label, cosine).
+    """
+    return _self_retrieval_topk(
+        df, vec_col, id_col, label_col, k, query_rate, seed, order_round,
+        different_label_only=True,
+    ).withColumnRenamed("rank", "neg_rank")
 
 
 def ann_lsh_topk(

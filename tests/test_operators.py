@@ -232,6 +232,114 @@ def test_ann_lsh_recall_on_clustered_data(spark):
     assert 0 in {r.id for r in got}  # the query vector itself is found
 
 
+def _np_self_topk(rows, qids, k, different_label_only=False):
+    """Pure-numpy twin of _self_retrieval_topk: per query id, the exact
+    top-k (round(cos, 6) desc, id asc) neighbors, self excluded."""
+    ids = [r[0] for r in rows]
+    labels = {r[0]: r[1] for r in rows}
+    mat = np.stack([np.asarray(r[2], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    out = {}
+    for qid in qids:
+        qi = ids.index(qid)
+        cos = np.round(mat @ mat[qi] / (norms * norms[qi]), 6)
+        cand = [
+            (i, ids[i]) for i in range(len(ids))
+            if ids[i] != qid
+            and (not different_label_only or labels[ids[i]] != labels[qid])
+        ]
+        cand.sort(key=lambda t: (-cos[t[0]], t[1]))
+        out[qid] = [(ids[i], labels[ids[i]], float(cos[i])) for i, _ in cand[:k]]
+    return out
+
+
+def test_retrieval_eval_matches_numpy_twin(spark):
+    """Metrics equal a hand-rolled numpy computation on a corpus with
+    real label structure (tight planted clusters => recall ~1)."""
+    from cov_tiles_spark.operators.sampling import sample_hash, threshold
+    from cov_tiles_spark.operators.similarity import retrieval_eval
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(5, 32))
+    rows = [
+        (i, i % 5, (centers[i % 5] + rng.normal(0, 0.05, 32)).tolist())
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    got = {
+        r.label: r
+        for r in retrieval_eval(
+            df, "embedding", "vec_id", "label", k=10, query_rate=0.2, seed=5
+        ).collect()
+    }
+
+    # replicate the deterministic query sample
+    qids = [
+        r.vec_id
+        for r in df.select("vec_id")
+        .filter(sample_hash(F.col("vec_id"), 5) < F.lit(threshold(0.2)))
+        .collect()
+    ]
+    top = _np_self_topk(rows, qids, 10)
+    agg = {}
+    for qid in qids:
+        qlabel = qid % 5
+        ranks = [i + 1 for i, (_, lab, _) in enumerate(top[qid]) if lab == qlabel]
+        agg.setdefault(qlabel, []).append(
+            (1 if ranks else 0, len(ranks) / 10.0, 1.0 / ranks[0] if ranks else 0.0)
+        )
+    for lab, triples in agg.items():
+        n = len(triples)
+        assert got[lab].n_queries == n
+        assert got[lab].recall_at_k == round(sum(t[0] for t in triples) / n, 6)
+        assert got[lab].precision_at_k == round(sum(t[1] for t in triples) / n, 6)
+        assert got[lab].mrr == round(sum(t[2] for t in triples) / n, 6)
+    # tight clusters: same-label neighbors dominate
+    assert all(r.recall_at_k == 1.0 and r.mrr == 1.0 for r in got.values())
+
+
+def test_hard_negatives_exact_and_partitioning_independent(spark):
+    """Operator equals the numpy twin (different-label filter BEFORE
+    top-k), every negative's label differs from the query's, neg_rank is
+    dense 1..k, and the result is partitioning-independent."""
+    from cov_tiles_spark.operators.sampling import sample_hash, threshold
+    from cov_tiles_spark.operators.similarity import hard_negatives
+
+    rng = np.random.default_rng(13)
+    rows = [(i, i % 4, rng.normal(size=16).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    out = hard_negatives(
+        df, "embedding", "vec_id", "label", k=5, query_rate=0.15, seed=5
+    ).collect()
+
+    qids = [
+        r.vec_id
+        for r in df.select("vec_id")
+        .filter(sample_hash(F.col("vec_id"), 5) < F.lit(threshold(0.15)))
+        .collect()
+    ]
+    twin = _np_self_topk(rows, qids, 5, different_label_only=True)
+    per = {}
+    for r in out:
+        assert r.label != r.query_label
+        per.setdefault(r.query_id, []).append((r.neg_rank, r.id, r.label))
+    assert set(per) == set(qids)
+    for qid, entries in per.items():
+        entries.sort()
+        assert [e[0] for e in entries] == [1, 2, 3, 4, 5]
+        assert [(e[1], e[2]) for e in entries] == [
+            (i, lab) for i, lab, _ in twin[qid]
+        ]
+    again = sorted(
+        (r.query_id, r.neg_rank, r.id)
+        for r in hard_negatives(
+            df.repartition(7), "embedding", "vec_id", "label",
+            k=5, query_rate=0.15, seed=5,
+        ).collect()
+    )
+    assert again == sorted((r.query_id, r.neg_rank, r.id) for r in out)
+
+
 def test_ivf_topk_exact_when_all_lists_probed(spark, embs):
     """nprobe == n_centroids degrades IVF to exact brute force — results
     must equal the numpy oracle exactly (this is also how the driver

@@ -224,3 +224,26 @@ def test_span_dedup_skew_safe_enables_aqe_split(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_retrieval_topk_uses_partial_window_group_limit(spark):
+    """_self_retrieval_topk: the corpus side must NOT shuffle (queries
+    broadcast), and the per-query top-k must compile to WindowGroupLimit
+    with a Partial pass BEFORE the query_id exchange — the JVM-side
+    local-then-global reduction that bounds the shuffle at
+    partitions x queries x k rows (no MapInPandas in this path)."""
+    from cov_tiles_spark.operators.similarity import hard_negatives
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(
+        hard_negatives(emb, "embedding", "vec_id", "label", k=5,
+                       query_rate=0.1, seed=5)
+    )
+    assert "BroadcastNestedLoopJoin" in plan  # corpus never shuffled
+    assert "MapInPandas" not in plan  # whole-stage codegen path
+    partial = plan.index("Partial")
+    final = plan.index("Final")
+    exchange = plan.index("Exchange hashpartitioning(query_id")
+    # plan prints top-down: Final above the exchange, Partial below it
+    assert final < exchange < partial, plan[:2000]
+    assert plan.count("WindowGroupLimit") == 2
