@@ -1773,6 +1773,20 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+def q_mixture_plan(spark, sf_dir):
+    """Static mixture planning (operators/sampling.py plan_mixture):
+    per-source token counts -> sampling weights hitting a 1M-token
+    budget at target proportions (the input of q_mixture_sample's
+    epochs-per-domain rule). One map-side-combined groupBy + broadcast
+    proportion table; the DuckDB twin recomputes the identical
+    double arithmetic."""
+    from cov_tiles_spark.operators.sampling import plan_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    props = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src5": 0.1}
+    return plan_mixture(d, "source", "n_chars", props, token_budget=1_000_000)
+
+
 def q_shuffle_shards(spark, sf_dir):
     """Deterministic global shuffle -> shard export assignment
     (operators/sampling.py shuffle_assign): shard by the TOP bits of
@@ -1903,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_sample_per_group": q_sample_per_group,
         "q_mixture_sample": q_mixture_sample,
+        "q_mixture_plan": q_mixture_plan,
         "q_shuffle_shards": q_shuffle_shards,
     }
 
@@ -2956,6 +2971,26 @@ def oracle_sql() -> dict[str, str]:
                      )) AS epoch
               FROM documents)
             ORDER BY doc_id, epoch
+        """,
+        # props sum to 1.0 so no normalization term; weight arithmetic
+        # in the identical double order (budget * prop / tokens)
+        "q_mixture_plan": """
+            WITH per AS (
+              SELECT source, count(*) AS n_docs,
+                     cast(sum(n_chars) AS bigint) AS tokens
+              FROM documents GROUP BY source),
+            p AS (
+              SELECT * FROM (VALUES
+                ('src0', CAST(0.4 AS DOUBLE)),
+                ('src1', CAST(0.3 AS DOUBLE)),
+                ('src2', CAST(0.2 AS DOUBLE)),
+                ('src5', CAST(0.1 AS DOUBLE))) AS t(source, prop))
+            SELECT per.source, n_docs, tokens,
+                   coalesce(prop, 0.0) AS target_prop,
+                   round(1000000.0 * coalesce(prop, 0.0) / tokens, 6)
+                     AS weight
+            FROM per LEFT JOIN p USING (source)
+            ORDER BY source
         """,
         # shard = multiply-shift on the TOP hash bits ((h * 8) >> 31);
         # pos = dense 0-based rank on (h, doc_id) within the shard

@@ -255,3 +255,66 @@ def shuffle_assign(
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .drop("_h")
     )
+
+
+def plan_mixture(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    target_props: dict[str, float],
+    token_budget: int,
+) -> DataFrame:
+    """Static mixture planning: per-domain sampling weights (epoch
+    counts for :func:`mixture_sample`) that hit a token budget at target
+    proportions — the step that turns a mixing recipe (DoReMi / Pile
+    style domain proportions) into executable per-row multiplicities.
+
+    ``weight_s = budget * p_s / tokens_s`` where ``p_s`` is the
+    stratum's share of ``sum(target_props.values())`` (so callers can
+    pass unnormalized scores) and ``tokens_s`` the corpus's actual token
+    count — in expectation, ``mixture_sample`` at these weights emits
+    ``budget * p_s`` tokens of stratum ``s``. Strata absent from
+    ``target_props`` get weight 0 (dropped by ``mixture_sample``);
+    target strata absent from the corpus are simply not in the output —
+    check ``n_strata`` if the recipe must be fully satisfiable.
+
+    Scale shape: one partial-aggregated ``groupBy(strata_col)`` over the
+    corpus (map-side combine, tiny result — strata counts are
+    dictionary-sized) + a broadcast proportion table. Returns
+    (``strata_col``, n_docs, tokens, target_prop, weight), weight
+    rounded to 6 dp for engine portability.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive: {token_budget}")
+    total_p = float(sum(target_props.values()))
+    if total_p <= 0:
+        raise ValueError("target_props must sum to a positive value")
+    for s, p in target_props.items():
+        if p < 0:
+            raise ValueError(f"negative target proportion for {s!r}: {p}")
+    spark = df.sparkSession
+    pdf = spark.createDataFrame(
+        [(s, p / total_p) for s, p in target_props.items()],
+        f"{strata_col} string, target_prop double",
+    )
+    per = df.groupBy(strata_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(token_col)).cast("long").alias("tokens"),
+    )
+    return (
+        per.join(F.broadcast(pdf), strata_col, "left")
+        .withColumn("target_prop", F.coalesce(F.col("target_prop"), F.lit(0.0)))
+        .withColumn(
+            "weight",
+            F.round(
+                F.lit(float(token_budget)) * F.col("target_prop")
+                / F.col("tokens"),
+                6,
+            ),
+        )
+        # report the proportion at fixed dp: the float normalization sum
+        # (e.g. 0.4+0.3+0.2+0.1 = 0.9999999999999999) otherwise leaks a
+        # last-ulp difference vs an engine that skipped the division
+        .withColumn("target_prop", F.round(F.col("target_prop"), 6))
+        .orderBy(strata_col)
+    )

@@ -618,6 +618,48 @@ class TestSampling:
         with _pytest.raises(ValueError):
             mixture_sample(df, "source", {"src0": -1.0}, key_col="doc_id")
 
+    def test_plan_mixture_hand_math_and_composition(self, spark):
+        """Weights equal budget * prop / tokens by hand; strata outside
+        the recipe get weight 0; composing with mixture_sample emits
+        ~budget * prop tokens per stratum (the planner's contract)."""
+        from cov_tiles_spark.operators.sampling import (
+            mixture_sample, plan_mixture,
+        )
+
+        df = self._docs(spark, n=4000, groups=4).withColumn(
+            "n_tok", F.lit(50) + (F.col("doc_id") % 7)
+        )
+        budget = 500_000
+        plan = {
+            r.source: r
+            for r in plan_mixture(
+                df, "source", "n_tok", {"src0": 0.5, "src1": 0.5}, budget
+            ).collect()
+        }
+        assert set(plan) == {"src0", "src1", "src2", "src3"}
+        for s in ("src0", "src1"):
+            tok = sum(
+                50 + (i % 7) for i in range(4000) if i % 4 == int(s[-1])
+            )
+            assert plan[s].tokens == tok and plan[s].n_docs == 1000
+            assert plan[s].weight == round(budget * 0.5 / tok, 6)
+        assert plan["src2"].weight == 0.0 and plan["src3"].weight == 0.0
+        weights = {s: r.weight for s, r in plan.items()}
+        got_tok = {
+            r.source: r.t
+            for r in mixture_sample(df, "source", weights, key_col="doc_id")
+            .groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+        }
+        for s in ("src0", "src1"):  # expectation budget/2 per stratum
+            assert abs(got_tok[s] / (budget / 2) - 1) < 0.02, got_tok
+        assert set(got_tok) == {"src0", "src1"}
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            plan_mixture(df, "source", "n_tok", {"src0": 1.0}, 0)
+        with _pytest.raises(ValueError):
+            plan_mixture(df, "source", "n_tok", {"src0": -0.1}, 100)
+
     def test_shuffle_assign_permutation_and_balance(self, spark):
         """Every row lands in exactly one (shard, pos) slot, pos is dense
         0..k-1 per shard, shards are near-balanced, and the permutation is
