@@ -18,10 +18,14 @@
                          (inverted-file) ANN — spherical k-means coarse
                          quantizer trained on a bounded sample, corpus
                          assigned to inverted lists, queries probe only
-                         the ``nprobe`` nearest lists. The alternative
-                         100 TB path when data is clusterable: persist
-                         the assignment partitioned by ``list_id`` and
-                         a probe becomes parquet partition pruning.
+                         the ``nprobe`` nearest lists.
+- ``ivf_build_index`` / ``ivf_probe_topk`` : the persisted form of the
+                         IVF path — corpus written partitioned by
+                         ``list_id`` with the quantizer as an in-dir
+                         sidecar; a probe reads only the ``nprobe``
+                         partitions (parquet partition PRUNING at the
+                         file listing, plan-asserted). The 100 TB
+                         serving shape when data is clusterable.
 """
 
 from __future__ import annotations
@@ -451,6 +455,82 @@ def ann_lsh_topk(
         .limit(k)
         .withColumn("rank", F.row_number().over(
             Window.orderBy(F.col("cosine").desc(), F.col("id"))
+        ))
+        .select("rank", "id", "cosine")
+    )
+
+
+def ivf_build_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: np.ndarray,
+    path: str,
+) -> None:
+    """Materialize the IVF index: assign every vector to its inverted
+    list and write parquet **partitioned by list_id**, with the
+    quantizer stored alongside (``_centroids.parquet``).
+
+    This is the 100 TB serving shape the in-memory :func:`ivf_topk`
+    only simulates: once the corpus is laid out one directory per
+    inverted list, a probe reads ``nprobe`` directories and ignores the
+    rest — partition PRUNING at the file listing, not a filter over a
+    full scan (plan-asserted in tests: the scan's PartitionFilters
+    carries the list_id predicate and no vector row outside the probed
+    lists is read). Rebuild cost is one pass over the corpus; the
+    quantizer file makes the index self-contained.
+    """
+    c = np.asarray(centroids, dtype=np.float64)
+    assigned = ivf_assign(df, vec_col, c).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "list_id"
+    )
+    assigned.write.partitionBy("list_id").mode("overwrite").parquet(path)
+    spark = df.sparkSession
+    cent_rows = [(i, c[i].tolist()) for i in range(len(c))]
+    spark.createDataFrame(
+        cent_rows, "centroid_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids.parquet")
+
+
+def ivf_probe_topk(
+    spark,
+    path: str,
+    query: list[float],
+    k: int,
+    nprobe: int = 4,
+    order_round: int | None = None,
+) -> DataFrame:
+    """Query a persisted IVF index (:func:`ivf_build_index`): pick the
+    ``nprobe`` lists nearest the query from the stored quantizer, read
+    ONLY those partitions (``list_id IN (...)`` resolves at the parquet
+    partition listing — pruning, not filtering), exact cosine re-rank
+    inside them via TakeOrderedAndProject.
+
+    ``nprobe >= n_centroids`` probes everything — provably exact, the
+    gate configuration."""
+    cents = spark.read.parquet(f"{path}/_centroids.parquet").collect()
+    c = np.stack([
+        np.asarray(r.centroid, dtype=np.float64)
+        for r in sorted(cents, key=lambda r: r.centroid_id)
+    ])
+    qv = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(qv)
+    probe = np.argsort(-(c @ (qv / qn)))[:nprobe].astype(int).tolist()
+
+    idx = spark.read.parquet(path).filter(F.col("list_id").isin(probe))
+    q = F.array(*[F.lit(float(v)) for v in query])
+    cos = _dot_expr(F.col("vec"), q) / (_norm_expr(F.col("vec")) * F.lit(float(qn)))
+    scored = idx.select(F.col("id"), cos.alias("cosine"))
+    order_key = (
+        F.round(F.col("cosine"), order_round) if order_round is not None
+        else F.col("cosine")
+    )
+    return (
+        scored.withColumn("_ord", order_key)
+        .orderBy(F.col("_ord").desc(), F.col("id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("_ord").desc(), F.col("id"))
         ))
         .select("rank", "id", "cosine")
     )

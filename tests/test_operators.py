@@ -395,6 +395,46 @@ def test_ivf_recall_on_clustered_data(spark):
     assert 0 in {r.id for r in got}
 
 
+def test_ivf_persisted_index_prunes_partitions_and_stays_exact(
+    spark, tmp_path
+):
+    """ivf_build_index / ivf_probe_topk: probe-all equals brute force;
+    the probe read resolves list_id at the PARTITION level (the scan's
+    PartitionFilters carries the IN predicate — directory pruning, not a
+    data filter), and the quantizer rides inside the index directory
+    (underscore-prefixed, invisible to the data listing)."""
+    from cov_tiles_spark.operators.similarity import (
+        cosine_topk, ivf_build_index, ivf_probe_topk, ivf_train_centroids,
+    )
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(8, 32))
+    vecs = [
+        (i, (centers[i % 8] + rng.normal(0, 0.05, 32)).tolist())
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = ivf_train_centroids(df, "embedding", "vec_id", dim=32, n_centroids=8)
+    path = str(tmp_path / "ivf_index")
+    ivf_build_index(df, "embedding", "vec_id", cents, path)
+
+    q = vecs[0][1]
+    exact = [
+        (r.rank, r.id)
+        for r in cosine_topk(df, "embedding", "vec_id", q, 10).collect()
+    ]
+    got_all = ivf_probe_topk(spark, path, q, 10, nprobe=8)
+    assert [(r.rank, r.id) for r in got_all.collect()] == exact
+
+    got_pruned = ivf_probe_topk(spark, path, q, 10, nprobe=2)
+    plan = got_pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [list_id" in plan, plan[:1500]
+    recall = len({r.id for r in got_pruned.collect()} & {i for _, i in exact}) / 10
+    assert recall >= 0.8, recall
+    # the index data listing must not pick up the quantizer sidecar
+    assert spark.read.parquet(path).count() == 400
+
+
 def test_lang_id_on_planted_sentences(spark):
     """The testdata documents are English-ish word soup for every lang
     label, so accuracy-vs-label is meaningless there; plant real
