@@ -808,6 +808,36 @@ def q_raster_cells(spark, sf_dir):
     )
 
 
+def q_layout_scan(spark, sf_dir):
+    """SFC-clustered storage layout + pruned bbox scan
+    (pipeline/layout.py): the corpus points are written Hilbert-clustered
+    (coarse-prefix directory partitions, fine-key-sorted row groups),
+    then a lon/lat bbox is served through partition pruning + row-group
+    skipping + the exact residual predicate. The twin is the plain bbox
+    filter in SQL — a hash match proves the pruned path loses/invents
+    nothing (the cover is a superset by construction; pruning can only
+    make the scan cheaper, never wrong)."""
+    import tempfile
+
+    from cov_tiles_spark.pipeline.layout import bbox_scan, cluster_write
+
+    bbox = (-60.0, -30.0, 40.0, 45.0)
+    pts = _events_points(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="layout_gate_")
+    # prefix_bits=4 (256 directories) keeps the file count sane at gate
+    # scale; a 100 TB corpus would use the default 6 (4096 directories)
+    cluster_write(pts, tmp, prefix_bits=4, n_partitions=16)
+    return (
+        bbox_scan(spark, tmp, bbox, prefix_bits=4)
+        .select(
+            "event_id",
+            F.round("lon", 4).alias("lon"),
+            F.round("lat", 4).alias("lat"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Sessionization: per-user session count with 1-hour inactivity gaps
     (lag window over event time — W-class ordered computation)."""
@@ -1872,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_decode_pruned": q_tile_decode_pruned,
         "q_tile_export_mvt": q_tile_export_mvt,
         "q_raster_cells": q_raster_cells,
+        "q_layout_scan": q_layout_scan,
         "q_sessionize": q_sessionize,
         "q_dedup_exact": q_dedup_exact,
         "q_profile": q_profile,
@@ -2246,6 +2277,15 @@ def oracle_sql() -> dict[str, str]:
                    cast(floor((my * 16 - y) * {_EXTENT}) as int) // {_EXTENT // 16} AS gy,
                    count(*) AS n_points
             FROM t GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+        """,
+        "q_layout_scan": f"""
+            SELECT event_id,
+                   round({_LON_E}, 4) AS lon,
+                   round({_LAT_E}, 4) AS lat
+            FROM events
+            WHERE {_LON_E} BETWEEN -60.0 AND 40.0
+              AND {_LAT_E} BETWEEN -30.0 AND 45.0
+            ORDER BY event_id
         """,
         "q_sessionize": """
             SELECT user_id,
