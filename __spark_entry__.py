@@ -1191,6 +1191,40 @@ def q_lm_filter(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Learned quality filter (operators/classifier.py): logistic
+    regression trained by 25 batch-GD iterations entirely through
+    per-iteration JVM aggregations (k+1 avg() expressions; the driver
+    holds only the weights), then scored as a pure column expression —
+    no UDFs anywhere. Label: lang == 'en'; features: counting-only
+    signals (exact integers both engines). The twin re-runs the SAME
+    training in plain numpy (scripts/build_oracles.py — independent
+    implementation, shared hyperparameters by gate-corpora convention),
+    so the hash compares the full learned per-doc probabilities, not
+    just the pipeline shape. Rounded to 4 dp: cross-engine drift is
+    summation order inside avg(), ~1e-15 relative per iteration."""
+    from cov_tiles_spark.operators.classifier import (
+        logreg_score,
+        logreg_train,
+        quality_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    cols = list(feats.keys())
+    fdf = docs.select(
+        "doc_id",
+        (F.col("lang") == F.lit("en")).cast("int").alias("label"),
+        *[v.alias(k) for k, v in feats.items()],
+    ).cache()
+    model = logreg_train(fdf, cols, "label")
+    return fdf.select(
+        "doc_id",
+        "label",
+        F.round(logreg_score(model, cols), 4).alias("prob"),
+    ).orderBy("doc_id")
+
+
 def q_text_pipeline(spark, sf_dir):
     """Capstone composition gate: the full training-data preparation
     stack (pipeline/textstack.py — C4 line cleaning -> ExactSubstr span
@@ -1922,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_filter": q_lm_filter,
         "q_dsir_select": q_dsir_select,
         "q_text_pipeline": q_text_pipeline,
+        "q_quality_classifier": q_quality_classifier,
         "q_semantic_dedup": q_semantic_dedup,
         "q_minhash_dedup": q_minhash_dedup,
         "q_decontaminate": q_decontaminate,
@@ -2687,6 +2722,11 @@ def oracle_sql() -> dict[str, str]:
         "q_text_pipeline": f"""
             SELECT doc_id, text, n_tokens, cluster
             FROM read_parquet('{_ORACLE_DIR}/q_text_pipeline.parquet')
+            ORDER BY doc_id
+        """,
+        "q_quality_classifier": f"""
+            SELECT doc_id, label, prob
+            FROM read_parquet('{_ORACLE_DIR}/q_quality_classifier.parquet')
             ORDER BY doc_id
         """,
         # live twin: BOTH DSIR models retrained + rescored in SQL

@@ -1243,6 +1243,49 @@ def q_webdataset_roundtrip(sf_dir: str) -> pd.DataFrame:
     return df[["image_id", "payload_md5", "w", "h", "fmt", "caption", "phash"]]
 
 
+def q_quality_classifier(sf_dir: str) -> pd.DataFrame:
+    """Independent twin of operators/classifier.py's logistic-regression
+    quality filter: same counting-only features, same standardization,
+    same 25 batch-GD iterations in plain numpy float64 (no Spark, no
+    cov_tiles_spark import). Hyperparameters are duplicated ON PURPOSE
+    (gate-corpora convention, see CLAUDE.md): change both or the gate
+    fails."""
+    docs = load(sf_dir, "documents").sort_values("doc_id").reset_index(drop=True)
+    texts = docs["text"].tolist()
+    n_chars = np.array([len(t) for t in texts], dtype=np.float64)
+    nmax = np.maximum(n_chars, 1.0)
+    f_len = n_chars / 1000.0
+    f_punct = np.array(
+        [sum(t.count(c) for c in ",.;:!?") for t in texts], dtype=np.float64
+    ) / nmax
+    f_space = np.array([t.count(" ") for t in texts], dtype=np.float64) / nmax
+    f_stop = np.array(
+        [(" " + t.lower() + " ").count(" the ") for t in texts], dtype=np.float64
+    ) / nmax
+    X = np.stack([f_len, f_punct, f_space, f_stop], axis=1)
+    y = (docs["lang"] == "en").to_numpy().astype(np.float64)
+
+    means = X.mean(axis=0)
+    stds = X.std(axis=0)
+    stds = np.where(stds > 1e-12, stds, 1.0)  # same epsilon rule as Spark side
+    Xs = (X - means) / stds
+    bias, w = 0.0, np.zeros(X.shape[1])
+    lr, l2 = 0.5, 1e-3
+    for _ in range(25):
+        p = 1.0 / (1.0 + np.exp(-(bias + Xs @ w)))
+        err = p - y
+        bias -= lr * err.mean()
+        w -= lr * ((err[:, None] * Xs).mean(axis=0) + l2 * w)
+    prob = 1.0 / (1.0 + np.exp(-(bias + Xs @ w)))
+    return pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype("int64"),
+            "label": y.astype("int32"),
+            "prob": np.round(prob, 4),
+        }
+    )
+
+
 ORACLES = {
     "q_hilbert_cells": q_hilbert_cells,
     "q_h3_cells": q_h3_cells,
@@ -1266,6 +1309,7 @@ ORACLES = {
     "q_span_dedup": q_span_dedup,
     "q_pack_bins": q_pack_bins,
     "q_text_pipeline": q_text_pipeline,
+    "q_quality_classifier": q_quality_classifier,
 }
 
 
