@@ -492,6 +492,42 @@ def ivf_build_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids.parquet")
 
 
+def ivf_append(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+) -> None:
+    """Incrementally maintain a persisted IVF index: assign the NEW
+    vectors with the index's own stored quantizer and append them into
+    the ``list_id`` partition layout — no rebuild, no read of the
+    existing corpus.
+
+    This is the delta path index serving needs at 100 TB: ingest cost
+    is one pass over the *new* rows only (dynamic partition append
+    touches just the directories the new vectors land in), probes are
+    unchanged because the quantizer is unchanged, and probe-all remains
+    provably exact over the union (tested). Centroid drift under heavy
+    append is a quantizer-quality concern, not a correctness one —
+    recall degrades gracefully until the next rebuild, exactly like a
+    FAISS ``add`` without ``train``.
+    """
+    spark = df.sparkSession
+    cents = spark.read.parquet(f"{path}/_centroids.parquet").collect()
+    c = np.stack([
+        np.asarray(r.centroid, dtype=np.float64)
+        for r in sorted(cents, key=lambda r: r.centroid_id)
+    ])
+    assigned = ivf_assign(df, vec_col, c).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "list_id"
+    )
+    assigned.write.partitionBy("list_id").mode("append").parquet(path)
+    # a probe earlier in this session may have cached the file listing
+    # for `path` — drop it or the appended rows are invisible (CLAUDE.md
+    # refreshByPath gotcha)
+    spark.catalog.refreshByPath(path)
+
+
 def ivf_probe_topk(
     spark,
     path: str,

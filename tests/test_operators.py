@@ -435,6 +435,49 @@ def test_ivf_persisted_index_prunes_partitions_and_stays_exact(
     assert spark.read.parquet(path).count() == 400
 
 
+def test_ivf_append_stays_exact_without_rebuild(spark, tmp_path):
+    """ivf_append: new vectors assigned with the STORED quantizer land
+    in the partition layout via dynamic append; probe-all over the
+    union equals brute force over the union, and a pre-append probe's
+    cached listing doesn't hide the appended rows."""
+    from cov_tiles_spark.operators.similarity import (
+        cosine_topk, ivf_append, ivf_build_index, ivf_probe_topk,
+        ivf_train_centroids,
+    )
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(8, 16))
+    base = [
+        (i, (centers[i % 8] + rng.normal(0, 0.05, 16)).tolist())
+        for i in range(300)
+    ]
+    extra = [
+        (1000 + i, (centers[i % 8] + rng.normal(0, 0.05, 16)).tolist())
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    cents = ivf_train_centroids(df, "embedding", "vec_id", dim=16, n_centroids=8)
+    path = str(tmp_path / "ivf_index")
+    ivf_build_index(df, "embedding", "vec_id", cents, path)
+
+    q = base[3][1]
+    # warm the session's file-listing cache for `path` BEFORE the append
+    ivf_probe_topk(spark, path, q, 5, nprobe=8).collect()
+
+    extra_df = spark.createDataFrame(extra, "vec_id long, embedding array<double>")
+    ivf_append(extra_df, "embedding", "vec_id", path)
+
+    union = df.unionByName(extra_df)
+    exact = [
+        (r.rank, r.id)
+        for r in cosine_topk(union, "embedding", "vec_id", q, 10).collect()
+    ]
+    got = ivf_probe_topk(spark, path, q, 10, nprobe=8)
+    assert [(r.rank, r.id) for r in got.collect()] == exact
+    # appended rows visible; quantizer sidecar still excluded
+    assert spark.read.parquet(path).count() == 420
+
+
 def test_lang_id_on_planted_sentences(spark):
     """The testdata documents are English-ish word soup for every lang
     label, so accuracy-vs-label is meaningless there; plant real
