@@ -135,13 +135,15 @@ def bbox_cover(
     y_lo, y_hi = min(my), max(my)
 
     level = prefix_bits
-    while level > 0:
+    while True:
         n = 1 << level
         gx0 = int(np.clip(math.floor(x_lo * n), 0, n - 1))
         gx1 = int(np.clip(math.floor(x_hi * n), 0, n - 1))
         gy0 = int(np.clip(math.floor(y_lo * n), 0, n - 1))
         gy1 = int(np.clip(math.floor(y_hi * n), 0, n - 1))
-        if (gx1 - gx0 + 1) * (gy1 - gy0 + 1) <= max_cover_cells:
+        # level 1 is the floor: a 2x2 grid (4 cells) covers the world,
+        # so the grid bounds in scope always match `level`
+        if (gx1 - gx0 + 1) * (gy1 - gy0 + 1) <= max_cover_cells or level == 1:
             break
         level -= 1
     widen = 2 * (prefix_bits - level)
