@@ -173,12 +173,6 @@ def test_hot_key_tiebreak_splits_straggler(spark, tmp_path):
     cluster_write(hot, path, bits=BITS, prefix_bits=PREFIX_BITS,
                   n_partitions=8, tiebreak_col="pid")
     import glob
-    import pyarrow.parquet as pq
-    sizes = sorted(
-        sum(pq.ParquetFile(f).metadata.num_rows for f in
-            glob.glob(f"{d}/*.parquet"))
-        for d in glob.glob(f"{path}/{PREFIX_COL}=*")
-    )
     # the hot directory holds ~18k rows but was written by multiple
     # range tasks — every file stays well under the full hot count
     hot_dir_files = max(
