@@ -65,6 +65,27 @@ def test_constant_feature_contributes_nothing(spark):
     assert m["stds"][-1] == 1.0
 
 
+def test_empty_and_unicode_text_features(spark):
+    """Empty text yields all-zero features (no div-by-zero); non-ASCII
+    text counts code points the same way the python twin does."""
+    df = spark.createDataFrame(
+        [(0, ""), (1, "the the"), (2, "你好, the world!")],
+        "doc_id long, text string",
+    )
+    feats = quality_features(F.col("text"))
+    out = (
+        df.select("doc_id", *[v.alias(k) for k, v in feats.items()])
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert out.loc[0, COLS].tolist() == [0.0, 0.0, 0.0, 0.0]
+    # " the the " has one non-overlapping " the " match (replace semantics)
+    assert out.loc[1, "f_stop"] == 1.0 / 7.0
+    t = "你好, the world!"
+    assert out.loc[2, "f_len"] == len(t) / 1000.0  # code points, not bytes
+    assert out.loc[2, "f_punct"] == 2.0 / len(t)
+
+
 def test_no_udf_in_plan(spark):
     fdf = _features(_docs(spark, n=50))
     model = {"bias": 0.1, "weights": [0.2, 0.3, 0.1, -0.2],
