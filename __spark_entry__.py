@@ -1191,6 +1191,29 @@ def q_lm_filter(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Provably-exact top-k frequent tokens
+    (operators/heavyhitters.py): Misra-Gries candidate pass (map-side
+    state and shuffle capped at `capacity` rows per partition —
+    corpus-size-independent, unlike a full token groupBy) -> broadcast
+    semi-join exact recount -> certificate that no evicted item can
+    reach the top-k. Gate runs the unconditional-exactness setting
+    (capacity above the distinct-token count, bound 0 — the repo's
+    provably-exact contract for approximate operators; the live
+    decrement path is pinned in pytest). Twin: plain split/unnest
+    GROUP BY top-k in SQL with the same (cnt desc, token asc)
+    tie-break."""
+    from cov_tiles_spark.operators.heavyhitters import heavy_hitters_topk
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ", -1)).alias("token")
+    ).filter(F.col("token") != "")
+    topk, bound = heavy_hitters_topk(toks, "token", 20, capacity=1 << 17)
+    assert bound == 0, bound
+    return topk.select("item", "cnt").orderBy(F.col("cnt").desc(), "item")
+
+
 def q_quality_classifier(spark, sf_dir):
     """Learned quality filter (operators/classifier.py): logistic
     regression trained by 25 batch-GD iterations entirely through
@@ -1957,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_select": q_dsir_select,
         "q_text_pipeline": q_text_pipeline,
         "q_quality_classifier": q_quality_classifier,
+        "q_heavy_hitters": q_heavy_hitters,
         "q_semantic_dedup": q_semantic_dedup,
         "q_minhash_dedup": q_minhash_dedup,
         "q_decontaminate": q_decontaminate,
@@ -2728,6 +2752,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, label, prob
             FROM read_parquet('{_ORACLE_DIR}/q_quality_classifier.parquet')
             ORDER BY doc_id
+        """,
+        # live twin: the full token groupBy the operator avoids shuffling
+        "q_heavy_hitters": """
+            SELECT token AS item, count(*) AS cnt
+            FROM (
+              SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents) t
+            WHERE token != ''
+            GROUP BY token
+            ORDER BY cnt DESC, item ASC
+            LIMIT 20
         """,
         # live twin: BOTH DSIR models retrained + rescored in SQL
         # (same LM algebra as q_lm_filter, emitted per model prefix by

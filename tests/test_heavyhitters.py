@@ -1,0 +1,83 @@
+"""Heavy hitters (operators/heavyhitters.py): exact vs brute force when
+the certificate holds, honest failure when it can't, bounded pass-1
+output, and a live decrement path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cov_tiles_spark.operators.heavyhitters import (
+    heavy_hitters_topk,
+    mg_candidates,
+)
+
+
+def _zipf_tokens(spark, n=30000, n_items=500):
+    # item j appears ~ n/(j+1) times: a long-tailed frequency profile
+    return (
+        spark.range(n)
+        .select(
+            F.concat(
+                F.lit("tok"),
+                F.floor(
+                    F.pow(F.lit(float(n_items)), (F.col("id") % 1000) / 1000.0)
+                ).cast("int").cast("string"),
+            ).alias("tok")
+        )
+        .repartition(8)
+    )
+
+
+def _brute_topk(df, k):
+    return [
+        (r["tok"], r["cnt"])
+        for r in df.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(k)
+        .collect()
+    ]
+
+
+def test_exact_when_capacity_generous(spark):
+    df = _zipf_tokens(spark)
+    got, bound = heavy_hitters_topk(df, "tok", 10, capacity=4096)
+    assert bound == 0  # no evictions: unconditional exactness
+    assert [(r["item"], r["cnt"]) for r in got.collect()] == _brute_topk(df, 10)
+
+
+def test_exact_under_live_decrements(spark):
+    """Small capacity forces real MG evictions; the certificate still
+    clears for the skewed head and the recounted top-k stays exact."""
+    df = _zipf_tokens(spark)
+    got, bound = heavy_hitters_topk(df, "tok", 5, capacity=64)
+    assert bound > 0  # decrement path actually exercised
+    assert [(r["item"], r["cnt"]) for r in got.collect()] == _brute_topk(df, 5)
+
+
+def test_certificate_fails_honestly_on_flat_data(spark):
+    # ~uniform counts: nothing clears the bound at a tiny capacity
+    flat = spark.range(20000).select(
+        (F.col("id") % 2000).cast("string").alias("tok")
+    ).repartition(8)
+    with pytest.raises(ValueError, match="certificate failed"):
+        heavy_hitters_topk(flat, "tok", 10, capacity=16)
+
+
+def test_pass1_output_is_capacity_bounded(spark):
+    df = _zipf_tokens(spark)
+    rows = mg_candidates(df, "tok", 32).collect()
+    per_part_items = [r for r in rows if r["item"] is not None]
+    n_parts = df.rdd.getNumPartitions()
+    assert len(per_part_items) <= 32 * n_parts
+    sentinels = [r for r in rows if r["item"] is None]
+    assert len(sentinels) == n_parts
+
+
+def test_nulls_ignored(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",)], "tok string"
+    )
+    got, bound = heavy_hitters_topk(df, "tok", 2, capacity=8)
+    assert [(r["item"], r["cnt"]) for r in got.collect()] == [("a", 2), ("b", 1)]
