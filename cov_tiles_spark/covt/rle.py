@@ -75,8 +75,18 @@ def decode_int_rle(
                     first = (first >> 1) ^ -(first & 1)
                 if d == 0:  # constant run: skip the generator protocol
                     vals.extend([first] * (h + 3))
-                else:
+                elif signed:
                     vals.extend(first + i * d for i in range(h + 3))
+                else:
+                    # negative deltas can take an unsigned run below 0;
+                    # the stream semantics are mod-2^64 (the vectorized
+                    # path masks at r_first) — mask HERE too, or numpy's
+                    # out-of-bound int conversion (deprecated, future
+                    # hard error) is what silently did the wrap
+                    vals.extend(
+                        (first + i * d) & 0xFFFFFFFFFFFFFFFF
+                        for i in range(h + 3)
+                    )
             else:
                 for _ in range(256 - h):
                     b = hdr[offset]

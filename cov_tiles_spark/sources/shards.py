@@ -89,7 +89,7 @@ def write_webdataset(
 
     extra = [c for c in images.columns if c in ("lon", "lat")]
 
-    def _write(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _write(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])
         pdf = pdf.sort_values("image_id")
         rows = []

@@ -73,7 +73,7 @@ def pip_join(points: DataFrame, boundaries: DataFrame) -> DataFrame:
         f"{f.name} {f.dataType.simpleString()}" for f in points.schema.fields
     ) + ", " + PIP_RESULT_EXTRA
 
-    def refine(key, pts: pd.DataFrame, bnds: pd.DataFrame) -> pd.DataFrame:
+    def refine(key: tuple, pts: pd.DataFrame, bnds: pd.DataFrame) -> pd.DataFrame:
         if len(pts) == 0:
             return pd.DataFrame(columns=list(pts.columns) + ["inside"])
         if len(bnds) == 0:
