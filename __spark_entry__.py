@@ -1926,7 +1926,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered so the driver's 50-query probe window covers the entries
+    # with the least standing driver evidence FIRST: the 20 queries that
+    # never had a CORRECTNESS_r* row (r4 verdict "What's missing" #1)
+    # lead, then the rest of the registry in its historical order (all 62
+    # were driver-verified green in rounds 2-4).
     return {
+        # --- never driver-probed through round 4 ---
+        "q_dsir_select": q_dsir_select,
+        "q_text_pipeline": q_text_pipeline,
+        "q_quality_classifier": q_quality_classifier,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_phash_dedup": q_phash_dedup,
+        "q_retrieval_eval": q_retrieval_eval,
+        "q_hard_negatives": q_hard_negatives,
+        "q_webdataset_roundtrip": q_webdataset_roundtrip,
+        "q_frame_sample": q_frame_sample,
+        "q_resize": q_resize,
+        "q_salted_join": q_salted_join,
+        "q_windowed_tile_counts": q_windowed_tile_counts,
+        "q_bbox_join": q_bbox_join,
+        "q_asof_join": q_asof_join,
+        "q_stratified_sample": q_stratified_sample,
+        "q_sample_per_group": q_sample_per_group,
+        "q_mixture_sample": q_mixture_sample,
+        "q_mixture_plan": q_mixture_plan,
+        "q_shuffle_shards": q_shuffle_shards,
+        # --- driver-verified in rounds 2-4 ---
         "q_pricing_summary": q_pricing_summary,
         "q_top_orders_per_customer": q_top_orders_per_customer,
         "q_local_supplier_volume": q_local_supplier_volume,
@@ -1977,38 +2004,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_aspect_buckets": q_aspect_buckets,
         "q_c4_clean": q_c4_clean,
         "q_lm_filter": q_lm_filter,
-        "q_dsir_select": q_dsir_select,
-        "q_text_pipeline": q_text_pipeline,
-        "q_quality_classifier": q_quality_classifier,
-        "q_heavy_hitters": q_heavy_hitters,
-        "q_semantic_dedup": q_semantic_dedup,
         "q_minhash_dedup": q_minhash_dedup,
         "q_decontaminate": q_decontaminate,
         "q_dup_clusters": q_dup_clusters,
         "q_simhash_dedup": q_simhash_dedup,
-        "q_phash_dedup": q_phash_dedup,
         "q_cosine_topk": q_cosine_topk,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ivf_topk": q_ivf_topk,
         "q_pq_rerank": q_pq_rerank,
-        "q_retrieval_eval": q_retrieval_eval,
-        "q_hard_negatives": q_hard_negatives,
         "q_embedding_near_dups": q_embedding_near_dups,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_image_invariants": q_image_invariants,
-        "q_webdataset_roundtrip": q_webdataset_roundtrip,
         "q_audio_features": q_audio_features,
-        "q_frame_sample": q_frame_sample,
-        "q_resize": q_resize,
-        "q_salted_join": q_salted_join,
-        "q_windowed_tile_counts": q_windowed_tile_counts,
-        "q_bbox_join": q_bbox_join,
-        "q_asof_join": q_asof_join,
-        "q_stratified_sample": q_stratified_sample,
-        "q_sample_per_group": q_sample_per_group,
-        "q_mixture_sample": q_mixture_sample,
-        "q_mixture_plan": q_mixture_plan,
-        "q_shuffle_shards": q_shuffle_shards,
     }
 
 
