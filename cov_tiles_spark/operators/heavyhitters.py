@@ -79,7 +79,11 @@ def mg_candidates(df: DataFrame, col: str, capacity: int) -> DataFrame:
         out["cnt"] = out["cnt"].astype("int64")
         yield out
 
-    return df.select(col).mapInPandas(summarize, "item string, cnt long")
+    # output item type mirrors the input column (tokens, bigint ids, ...)
+    # — a hard-coded `string` would force casts (or Arrow failures) on
+    # non-string items in the downstream recount semi-join
+    item_type = df.schema[col].dataType.simpleString()
+    return df.select(col).mapInPandas(summarize, f"item {item_type}, cnt long")
 
 
 def heavy_hitters_topk(
@@ -97,22 +101,36 @@ def heavy_hitters_topk(
     if the certificate fails — the k-th count did not clear the bound,
     so exactness cannot be guaranteed at this capacity.
     """
-    summary = mg_candidates(df, col, capacity)
-    bound = summary.filter(F.col("item").isNull()).agg(
-        F.sum("cnt").alias("b")
-    ).collect()[0]["b"]
-    bound = int(bound or 0)
-    cand = summary.filter(F.col("item").isNotNull()).select("item").distinct()
-    exact = (
-        df.join(
-            F.broadcast(cand.withColumnRenamed("item", col)), on=col, how="leftsemi"
+    # persist so the bound and the candidate set come from ONE evaluation
+    # of pass 1 (without it, the bound collect and the recount semi-join
+    # each recompute the summary — an extra full corpus scan, and on any
+    # nondeterministic/partition-order-varying input the bound could
+    # certify a DIFFERENT candidate set than the one recounted, silently
+    # voiding the exactness guarantee). The summary is vocabulary-sized
+    # (≤ capacity rows + 1 sentinel per partition), so caching is cheap.
+    summary = mg_candidates(df, col, capacity).persist()
+    try:
+        bound = summary.filter(F.col("item").isNull()).agg(
+            F.sum("cnt").alias("b")
+        ).collect()[0]["b"]
+        bound = int(bound or 0)
+        cand = (
+            summary.filter(F.col("item").isNotNull()).select("item").distinct()
         )
-        .groupBy(col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumnRenamed(col, "item")
-    )
-    topk = exact.orderBy(F.col("cnt").desc(), F.col("item").asc()).limit(k)
-    rows = topk.collect()
+        exact = (
+            df.join(
+                F.broadcast(cand.withColumnRenamed("item", col)),
+                on=col,
+                how="leftsemi",
+            )
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumnRenamed(col, "item")
+        )
+        topk = exact.orderBy(F.col("cnt").desc(), F.col("item").asc()).limit(k)
+        rows = topk.collect()
+    finally:
+        summary.unpersist()
     kth = rows[-1]["cnt"] if len(rows) == k else 0
     # fewer than k candidates with a nonzero bound also fails: an
     # evicted item could be a legitimate k-th entry we never recounted

@@ -81,3 +81,44 @@ def test_nulls_ignored(spark):
     )
     got, bound = heavy_hitters_topk(df, "tok", 2, capacity=8)
     assert [(r["item"], r["cnt"]) for r in got.collect()] == [("a", 2), ("b", 1)]
+
+
+def test_corpus_scanned_exactly_twice(spark):
+    """topk = pass 1 (MG summary) + pass 2 (recount): the input must be
+    read exactly twice. Regression for the uncached-summary shape where
+    the bound collect and the candidate semi-join each re-evaluated
+    pass 1 — three scans, and bound/candidates from two independent
+    evaluations (which voids the certificate on nondeterministic
+    inputs)."""
+    n = 30000
+    acc = spark.sparkContext.accumulator(0)
+
+    def tap(batches):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    tapped = _zipf_tokens(spark, n=n).mapInPandas(tap, "tok string")
+    got, bound = heavy_hitters_topk(tapped, "tok", 10, capacity=4096)
+    assert [(r["item"], r["cnt"]) for r in got.collect()] == _brute_topk(
+        _zipf_tokens(spark, n=n), 10
+    )
+    assert acc.value == 2 * n
+
+
+def test_non_string_items(spark):
+    """Items keep the input column's type (bigint ids here) end to end —
+    the output schema derives from df.schema, not a hard-coded string."""
+    df = spark.range(1000).select((F.col("id") % 7).alias("v")).repartition(4)
+    got, bound = heavy_hitters_topk(df, "v", 3, capacity=64)
+    assert got.schema["item"].dataType.simpleString() == "bigint"
+    assert bound == 0
+    expect = [
+        (r["v"], r["cnt"])
+        for r in df.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("v").asc())
+        .limit(3)
+        .collect()
+    ]
+    assert [(r["item"], r["cnt"]) for r in got.collect()] == expect
