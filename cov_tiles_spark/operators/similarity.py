@@ -264,13 +264,18 @@ def _self_retrieval_topk(
     seed: int,
     order_round: int,
     different_label_only: bool = False,
+    max_queries: int | None = 65536,
 ) -> DataFrame:
     """Shared core of :func:`retrieval_eval` / :func:`hard_negatives`:
     exact cosine top-k neighbors (self excluded) for a deterministic
     hash-sampled query subset of the corpus.
 
-    Scale shape: the query set is small by construction (rate-bounded
-    portable hash sample — reproducible across runs/engines), so it
+    Scale shape: the query set is small by construction — rate-bounded
+    portable hash sample AND absolutely capped at ``max_queries`` (a
+    rate alone grows linearly with the corpus, so the broadcast side
+    would eventually OOM the driver; the cap keeps the ``max_queries``
+    smallest hash values, which is deterministic and coincides with the
+    pure rate sample whenever the sample is under the cap) — so it
     rides a **broadcast** against the corpus: the 100 TB side is scanned
     once and never shuffled. The per-query top-k is a ``row_number``
     window + ``rank <= k`` filter, which Catalyst compiles to
@@ -299,6 +304,13 @@ def _self_retrieval_topk(
         F.col("label").alias("query_label"),
         F.col("vec").alias("q_vec"),
     )
+    if max_queries is not None:
+        # top-N by (hash, id): a TakeOrdered reduction, never a global
+        # sort — and a no-op below the cap, so gate results are the pure
+        # rate sample while real scale stays driver-safe
+        queries = queries.orderBy(
+            sample_hash(F.col("query_id"), seed), F.col("query_id")
+        ).limit(max_queries)
     cos = _dot_expr(F.col("vec"), F.col("q_vec")) / (
         _norm_expr(F.col("vec")) * _norm_expr(F.col("q_vec"))
     )
@@ -331,6 +343,7 @@ def retrieval_eval(
     query_rate: float = 0.1,
     seed: int = 5,
     order_round: int = 6,
+    max_queries: int | None = 65536,
 ) -> DataFrame:
     """Embedding-retrieval quality evaluation: label-match recall@k,
     precision@k, and MRR over a deterministic query sample.
@@ -349,7 +362,8 @@ def retrieval_eval(
     tiebreaks, fixed-dp output).
     """
     top = _self_retrieval_topk(
-        df, vec_col, id_col, label_col, k, query_rate, seed, order_round
+        df, vec_col, id_col, label_col, k, query_rate, seed, order_round,
+        max_queries=max_queries,
     )
     hit = (F.col("label") == F.col("query_label")).cast("int")
     per_q = top.groupBy("query_id", "query_label").agg(
@@ -380,6 +394,7 @@ def hard_negatives(
     query_rate: float = 0.1,
     seed: int = 5,
     order_round: int = 6,
+    max_queries: int | None = 65536,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: per sampled query,
     the ``k`` most-similar corpus items with a DIFFERENT label — the
@@ -394,7 +409,7 @@ def hard_negatives(
     """
     return _self_retrieval_topk(
         df, vec_col, id_col, label_col, k, query_rate, seed, order_round,
-        different_label_only=True,
+        different_label_only=True, max_queries=max_queries,
     ).withColumnRenamed("rank", "neg_rank")
 
 

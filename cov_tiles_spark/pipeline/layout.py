@@ -188,26 +188,30 @@ def bbox_scan(
     tests assert the pruning plan).
 
     ``direct_listing=True`` skips Spark's recursive partition discovery:
-    the cover's directories are resolved driver-side (one listing RPC)
-    and only those paths are handed to the reader with ``basePath`` —
-    the manifest-style shortcut a 100 TB object-store layout needs,
-    where discovering millions of files to then prune them is itself
-    the bottleneck.  Semantics are identical (the same predicates are
-    still applied); the default keeps the pruning visible to Catalyst
+    the cover's directories are resolved driver-side (one listing RPC
+    through the Hadoop ``FileSystem`` API, so any scheme Spark can read
+    — ``file://``, ``hdfs://``, ``s3a://`` — lists the same way) and
+    only those paths are handed to the reader with ``basePath`` — the
+    manifest-style shortcut a 100 TB object-store layout needs, where
+    discovering millions of files to then prune them is itself the
+    bottleneck.  Semantics are identical (the same predicates are still
+    applied); the default keeps the pruning visible to Catalyst
     (``PartitionFilters``, plan-asserted in tests).
     """
     runs = bbox_cover(bbox, bits=bits, prefix_bits=prefix_bits)
     shift = 2 * (bits - prefix_bits)
     if direct_listing:
-        import os
-
+        jvm = spark.sparkContext._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         dirs = []
-        for name in os.listdir(path):
+        for status in fs.listStatus(jpath):
+            name = status.getPath().getName()
             if not name.startswith(f"{PREFIX_COL}="):
                 continue
             v = int(name.rsplit("=", 1)[1])
             if any(lo <= v <= hi for lo, hi in runs):
-                dirs.append(os.path.join(path, name))
+                dirs.append(status.getPath().toString())
         if not dirs:
             # empty cover — preserve schema via an always-false filter
             df = spark.read.parquet(path).filter(F.lit(False))

@@ -340,6 +340,49 @@ def test_hard_negatives_exact_and_partitioning_independent(spark):
     assert again == sorted((r.query_id, r.neg_rank, r.id) for r in out)
 
 
+def test_max_queries_caps_broadcast_side(spark):
+    """A binding max_queries keeps the cap-many smallest sample-hash
+    query ids (deterministic, partitioning-independent) — the absolute
+    bound that keeps the broadcast side driver-safe when the rate sample
+    grows with the corpus; a non-binding cap is a no-op."""
+    from cov_tiles_spark.operators.sampling import sample_hash, threshold
+    from cov_tiles_spark.operators.similarity import hard_negatives
+
+    rng = np.random.default_rng(17)
+    rows = [(i, i % 3, rng.normal(size=8).tolist()) for i in range(150)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    full = hard_negatives(
+        df, "embedding", "vec_id", "label", k=3, query_rate=0.5, seed=5
+    ).collect()
+    capped = hard_negatives(
+        df.repartition(5), "embedding", "vec_id", "label",
+        k=3, query_rate=0.5, seed=5, max_queries=7,
+    ).collect()
+    hashes = {
+        r.vec_id: r.h
+        for r in df.select(
+            "vec_id", sample_hash(F.col("vec_id"), 5).alias("h")
+        ).collect()
+        if r.h < threshold(0.5)
+    }
+    keep = set(sorted(hashes, key=lambda i: (hashes[i], i))[:7])
+    assert {r.query_id for r in capped} == keep
+    expect = sorted(
+        (r.query_id, r.neg_rank, r.id) for r in full if r.query_id in keep
+    )
+    assert sorted((r.query_id, r.neg_rank, r.id) for r in capped) == expect
+    # non-binding cap: identical to the pure rate sample
+    nocap = hard_negatives(
+        df, "embedding", "vec_id", "label", k=3, query_rate=0.5, seed=5,
+        max_queries=100000,
+    ).collect()
+    assert sorted((r.query_id, r.neg_rank, r.id) for r in nocap) == sorted(
+        (r.query_id, r.neg_rank, r.id) for r in full
+    )
+
+
 def test_ivf_topk_exact_when_all_lists_probed(spark, embs):
     """nprobe == n_centroids degrades IVF to exact brute force — results
     must equal the numpy oracle exactly (this is also how the driver
