@@ -1214,6 +1214,49 @@ def q_heavy_hitters(spark, sf_dir):
     return topk.select("item", "cnt").orderBy(F.col("cnt").desc(), "item")
 
 
+def q_heavy_hitters_bound(spark, sf_dir):
+    """Heavy hitters with LIVE Misra-Gries decrements (bound > 0) and
+    the certificate recomputed from scratch by the twin — the novel
+    exactness claim, gated, not just pytest-pinned.
+
+    The raw token stream is too flat for decrements to certify (31
+    ~uniform tokens — the honest-failure regime), so the gate derives a
+    deterministic integer-exact zipf stream from it: rn = global token
+    position (row_number over (doc_id, pos)), item = 1000 div
+    ((rn mod 1000) + 1) — item v covers ~1000/(v*(v+1)) of positions, 62
+    distinct values. capacity=16 forces continuous eviction; replay
+    determinism comes from one sorted partition + fixed 4096-row logical
+    MG batches (batch_rows), so the twin
+    (scripts/build_oracles.py mg replay — independent sequential
+    implementation) reproduces the exact decrement total B, asserts the
+    certificate (k-th count > B > 0) itself, and the hash compares
+    (item, cnt, bound) including B. Integer division keeps every value
+    engine-exact (no float pow boundaries)."""
+    from pyspark.sql import Window
+
+    from cov_tiles_spark.operators.heavyhitters import heavy_hitters_topk
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ", -1)).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    rn = F.row_number().over(Window.orderBy("doc_id", "pos"))
+    stream = (
+        toks.select(rn.alias("rn"))
+        .select("rn", F.expr("1000 div ((rn % 1000) + 1)").alias("item"))
+        .repartition(1)
+        .sortWithinPartitions("rn")
+    )
+    topk, bound = heavy_hitters_topk(
+        stream, "item", 5, capacity=16, batch_rows=4096
+    )
+    assert bound > 0, bound  # the decrement path must actually run
+    return topk.select(
+        "item", "cnt", F.lit(bound).cast("long").alias("bound")
+    ).orderBy(F.col("cnt").desc(), "item")
+
+
 def q_quality_classifier(spark, sf_dir):
     """Learned quality filter (operators/classifier.py): logistic
     regression trained by 25 batch-GD iterations entirely through
@@ -1937,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_pipeline": q_text_pipeline,
         "q_quality_classifier": q_quality_classifier,
         "q_heavy_hitters": q_heavy_hitters,
+        "q_heavy_hitters_bound": q_heavy_hitters_bound,
         "q_semantic_dedup": q_semantic_dedup,
         "q_phash_dedup": q_phash_dedup,
         "q_retrieval_eval": q_retrieval_eval,
@@ -2759,6 +2803,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, label, prob
             FROM read_parquet('{_ORACLE_DIR}/q_quality_classifier.parquet')
             ORDER BY doc_id
+        """,
+        # replay twin: sequential batched-MG over the derived zipf
+        # stream recomputes the decrement total B from scratch and
+        # asserts the certificate itself (scripts/build_oracles.py
+        # q_heavy_hitters_bound); the hash compares (item, cnt, bound)
+        "q_heavy_hitters_bound": f"""
+            SELECT CAST(item AS BIGINT) AS item,
+                   CAST(cnt AS BIGINT) AS cnt,
+                   CAST(bound AS BIGINT) AS bound
+            FROM read_parquet('{_ORACLE_DIR}/q_heavy_hitters_bound.parquet')
+            ORDER BY cnt DESC, item ASC
         """,
         # live twin: the full token groupBy the operator avoids shuffling
         "q_heavy_hitters": """

@@ -43,21 +43,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def mg_candidates(df: DataFrame, col: str, capacity: int) -> DataFrame:
+def mg_candidates(
+    df: DataFrame,
+    col: str,
+    capacity: int,
+    batch_rows: int | None = None,
+) -> DataFrame:
     """Pass 1: per-partition Misra-Gries summaries.
 
     Returns rows ``(item, cnt)`` — at most ``capacity`` per input
     partition — plus one sentinel row ``(NULL, dec_p)`` per partition
     carrying its decrement total (the partition's error bound).
+
+    ``batch_rows=None`` (production) merges per Arrow batch, so the
+    decrement total depends on the runtime batching — the bound is
+    still valid, just not replayable. A fixed ``batch_rows`` re-chunks
+    the partition stream into exact ``batch_rows``-row logical batches,
+    making the bound a pure function of (row order, batch_rows) — the
+    determinism device the ``q_heavy_hitters_bound`` gate uses to have
+    DuckDB/python recompute the certificate from scratch.
     """
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
+    if batch_rows is not None and batch_rows < 1:
+        raise ValueError(f"batch_rows must be >= 1, got {batch_rows}")
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: dict = {}
         dec_total = 0
-        for b in batches:
-            vc = b[col].dropna().value_counts()
+
+        def merge(series: pd.Series) -> None:
+            nonlocal counts, dec_total
+            vc = series.value_counts()
             for item, c in vc.items():
                 counts[item] = counts.get(item, 0) + int(c)
             overflow = len(counts) - capacity
@@ -68,6 +85,24 @@ def mg_candidates(df: DataFrame, col: str, capacity: int) -> DataFrame:
                 delta = sorted(counts.values())[overflow - 1]
                 dec_total += delta
                 counts = {i: c - delta for i, c in counts.items() if c > delta}
+
+        if batch_rows is None:
+            for b in batches:
+                merge(b[col].dropna())
+        else:
+            pending = []
+            n_pending = 0
+            for b in batches:
+                s = b[col].dropna()
+                pending.append(s)
+                n_pending += len(s)
+                while n_pending >= batch_rows:
+                    buf = pd.concat(pending, ignore_index=True)
+                    merge(buf.iloc[:batch_rows])
+                    rest = buf.iloc[batch_rows:]
+                    pending, n_pending = [rest], len(rest)
+            if n_pending:
+                merge(pd.concat(pending, ignore_index=True))
         out = pd.DataFrame(
             {"item": list(counts.keys()), "cnt": list(counts.values())}
         )
@@ -91,6 +126,7 @@ def heavy_hitters_topk(
     col: str,
     k: int,
     capacity: int = 1 << 14,
+    batch_rows: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Provably-exact top-``k`` items of ``df[col]`` (NULLs ignored).
 
@@ -108,7 +144,7 @@ def heavy_hitters_topk(
     # certify a DIFFERENT candidate set than the one recounted, silently
     # voiding the exactness guarantee). The summary is vocabulary-sized
     # (≤ capacity rows + 1 sentinel per partition), so caching is cheap.
-    summary = mg_candidates(df, col, capacity).persist()
+    summary = mg_candidates(df, col, capacity, batch_rows=batch_rows).persist()
     try:
         bound = summary.filter(F.col("item").isNull()).agg(
             F.sum("cnt").alias("b")

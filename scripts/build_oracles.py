@@ -1286,8 +1286,52 @@ def q_quality_classifier(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_heavy_hitters_bound(
+    sf_dir: str, k: int = 5, capacity: int = 16, chunk: int = 4096
+) -> pd.DataFrame:
+    """Sequential replay of the q_heavy_hitters_bound gate: the derived
+    zipf item stream depends only on the global non-empty-token count N
+    (item = 1000 div ((rn mod 1000) + 1), rn = 1..N in (doc_id, pos)
+    order), so the twin recomputes N, replays batched Misra-Gries in
+    fixed `chunk`-row batches to get the decrement total B from scratch,
+    recounts the surviving candidates exactly, and asserts the
+    certificate (k-th count > B > 0) independently of the Spark side."""
+    docs = load(sf_dir, "documents")[["doc_id", "text"]]
+    n_tokens = int(
+        sum(sum(1 for t in text.split(" ") if t != "") for text in docs["text"])
+    )
+    rn = np.arange(1, n_tokens + 1, dtype=np.int64)
+    items = 1000 // ((rn % 1000) + 1)
+    counts: dict = {}
+    bound = 0
+    for i in range(0, n_tokens, chunk):
+        vals, cnts = np.unique(items[i : i + chunk], return_counts=True)
+        for v, c in zip(vals.tolist(), cnts.tolist()):
+            counts[v] = counts.get(v, 0) + c
+        overflow = len(counts) - capacity
+        if overflow > 0:
+            delta = sorted(counts.values())[overflow - 1]
+            bound += delta
+            counts = {v: c - delta for v, c in counts.items() if c > delta}
+    vals, cnts = np.unique(items, return_counts=True)
+    exact = {
+        int(v): int(c) for v, c in zip(vals, cnts) if int(v) in counts
+    }
+    top = sorted(exact.items(), key=lambda t: (-t[1], t[0]))[:k]
+    assert bound > 0, bound
+    assert len(top) == k and top[-1][1] > bound, (top, bound)
+    return pd.DataFrame(
+        {
+            "item": np.array([t[0] for t in top], dtype=np.int64),
+            "cnt": np.array([t[1] for t in top], dtype=np.int64),
+            "bound": np.full(k, bound, dtype=np.int64),
+        }
+    )
+
+
 ORACLES = {
     "q_hilbert_cells": q_hilbert_cells,
+    "q_heavy_hitters_bound": q_heavy_hitters_bound,
     "q_h3_cells": q_h3_cells,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_minhash_dedup": q_minhash_dedup,

@@ -83,6 +83,52 @@ def test_nulls_ignored(spark):
     assert [(r["item"], r["cnt"]) for r in got.collect()] == [("a", 2), ("b", 1)]
 
 
+def test_batch_rows_bound_replayable_across_arrow_batching(spark):
+    """With a fixed batch_rows, the decrement total is a pure function
+    of (row order, batch_rows): the Arrow transfer batch size must not
+    leak into it, and a local sequential replay reproduces it exactly —
+    the property the q_heavy_hitters_bound gate twin relies on."""
+    from collections import Counter
+
+    n, capacity, chunk = 20000, 16, 4096
+    items = [1000 // ((rn % 1000) + 1) for rn in range(1, n + 1)]
+
+    # local sequential replay (independent of the operator's internals)
+    counts, expect_bound = {}, 0
+    for i in range(0, n, chunk):
+        for it, c in Counter(items[i : i + chunk]).items():
+            counts[it] = counts.get(it, 0) + c
+        overflow = len(counts) - capacity
+        if overflow > 0:
+            delta = sorted(counts.values())[overflow - 1]
+            expect_bound += delta
+            counts = {x: c - delta for x, c in counts.items() if c > delta}
+    assert expect_bound > 0
+
+    df = (
+        spark.range(1, n + 1)
+        .select(
+            F.col("id").alias("rn"),
+            F.expr("1000 div ((id % 1000) + 1)").alias("item"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("rn")
+    )
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf)
+    bounds = []
+    try:
+        for arrow_batch in ("10000", "777"):
+            spark.conf.set(conf, arrow_batch)
+            _, bound = heavy_hitters_topk(
+                df, "item", 5, capacity=capacity, batch_rows=chunk
+            )
+            bounds.append(bound)
+    finally:
+        spark.conf.set(conf, old)
+    assert bounds == [expect_bound, expect_bound]
+
+
 def test_corpus_scanned_exactly_twice(spark):
     """topk = pass 1 (MG summary) + pass 2 (recount): the input must be
     read exactly twice. Regression for the uncached-summary shape where
