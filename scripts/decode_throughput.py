@@ -3,9 +3,13 @@
 single-threaded, no SIMD; harness decodingPerformance.ts:37-55 on
 bing/4-8-5 and omt/5_16_20).
 
-Same protocol, our codecs: time full-tile decode of the golden COVT vs
-the paired MVT on the same two pinned tiles, single process. Appends a
-section to BENCH/BASELINE.md.
+Same protocol, our codecs, ALL 15 golden tiles (the reference publishes
+ratios for two; running the full fixture set catches per-tile
+regressions the 2-tile table can miss): time full-tile decode of the
+golden COVT vs the paired MVT, single process, gen-A and gen-B. Appends
+a section to BENCH/BASELINE.md.
+
+Usage: python scripts/decode_throughput.py [min_sec_per_measurement]
 """
 
 from __future__ import annotations
@@ -24,9 +28,23 @@ from cov_tiles_spark.covt.mvt import decode_mvt
 
 TILES = [
     ("bing/4-8-5", "z4", ".mvt"),
+    ("bing/5-16-11", "z5", ".mvt"),
+    ("bing/5-25-13", "z5", ".mvt"),
+    ("bing/5-26-13", "z5", ".mvt"),
+    ("bing/6-32-22", "z6", ".mvt"),
+    ("bing/7-66-43", "z7", ".mvt"),
+    ("bing/9-259-176", "z9", ".mvt"),
+    ("omt/2_2_2", "z2", ".mvt"),
+    ("omt/3_4_5", "z3", ".mvt"),
+    ("omt/4_3_9", "z4", ".mvt"),
     ("omt/5_16_20", "z5", ".mvt"),
+    ("omt/6_32_41", "z6", ".mvt"),
+    ("omt/7_68_85", "z7", ".mvt"),
+    ("omt/8_134_170", "z8", ".mvt"),
+    ("amazon/5_5_11", "z5", ".pbf"),
 ]
-REF_RATIO = {"z4": 2.36, "z5": 2.74}
+# the only two tiles the reference publishes a ratio for
+REF_RATIO = {"bing/4-8-5": 2.36, "omt/5_16_20": 2.74}
 
 
 def ops_per_sec(fn, arg, min_sec=3.0) -> float:
@@ -51,24 +69,36 @@ def main() -> None:
     from cov_tiles_spark.covt.genb import decode_tile_genb
     from cov_tiles_spark.pipeline.transcode import mvt_to_genb
 
+    min_sec = float(sys.argv[1]) if len(sys.argv) > 1 else 3.0
     lines = [
         _HEADER + "\n",
         "| tile | COVT gen-A ops/s | gen-B ops/s | MVT ops/s | "
-        "ratio gen-A (ours) | ratio (reference) |",
-        "|---|---|---|---|---|---|",
+        "ratio gen-A (ours) | ratio gen-B (ours) | ratio (reference) |",
+        "|---|---|---|---|---|---|---|",
     ]
+    worst = (None, float("inf"))
     for rel, zlabel, mvt_ext in TILES:
         base = f"/root/reference/parser/js/data/{rel}"
         covt = open(base + ".covt", "rb").read()
         mvt = open(base + mvt_ext, "rb").read()
         genb_payload, tilejson, _, _ = mvt_to_genb(mvt)
-        c_ops = ops_per_sec(decode_covt, covt)
-        g_ops = ops_per_sec(lambda b: decode_tile_genb(b, tilejson), genb_payload)
-        m_ops = ops_per_sec(decode_mvt, mvt)
+        c_ops = ops_per_sec(decode_covt, covt, min_sec)
+        g_ops = ops_per_sec(
+            lambda b: decode_tile_genb(b, tilejson), genb_payload, min_sec
+        )
+        m_ops = ops_per_sec(decode_mvt, mvt, min_sec)
+        ref = f"{REF_RATIO[rel]}x" if rel in REF_RATIO else "—"
         lines.append(
             f"| {rel} ({zlabel}) | {c_ops:.1f} | {g_ops:.1f} | {m_ops:.1f} | "
-            f"{c_ops / m_ops:.2f}x | {REF_RATIO[zlabel]}x |"
+            f"{c_ops / m_ops:.2f}x | {g_ops / m_ops:.2f}x | {ref} |"
         )
+        if c_ops / m_ops < worst[1]:
+            worst = (rel, c_ops / m_ops)
+    lines.append(
+        f"\nWorst gen-A ratio across all 15 fixtures: {worst[1]:.2f}x "
+        f"({worst[0]}) — the per-tile floor, not just the published "
+        "2-tile pins."
+    )
     lines.append(
         "\nAll decoders are ours (numpy-vectorized COVT gen-A/gen-B vs our "
         "spec-built MVT reader), mirroring the reference's same-runtime "
