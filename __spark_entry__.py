@@ -1610,6 +1610,48 @@ def q_hard_negatives(spark, sf_dir):
     )
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 sparse retrieval (similarity #6, lexical): distributed
+    inverted index over ``documents`` + top-10 per query
+    (operators/bm25.py). Queries are the first 5 tokens of every
+    doc_id % 50 == 7 document (deterministic, SQL-reproducible). The
+    postings scan never reshuffles — query terms with idf pre-attached
+    ride a broadcast join; the only exchange is the query-hit-sized
+    partial-sum aggregate. Rank key round(score, 6) + doc_id tiebreak
+    (the q_cosine_topk device); the raw score stays out of the hash."""
+    from cov_tiles_spark.operators.bm25 import bm25_index, bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    postings, df, doclen = bm25_index(d)
+    postings = postings.persist()  # scored twice below (stats + hits)
+    st = doclen.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    queries = d.filter(F.col("doc_id") % 50 == 7).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.slice(F.split("text", " "), 1, 5)).alias("term"),
+    )
+    return bm25_topk(
+        postings, df, queries, int(st.n), float(st.avgdl), k=10
+    ).select("query_id", "rank", "doc_id").orderBy("query_id", "rank")
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization over ``events`` (12 h timeout) +
+    per-session stats (operators/sessions.py): ONE exchange on user_id
+    shared by the lag/cumsum window and the session aggregate; all gap
+    math in exact integer microseconds (unix_micros ≡ DuckDB epoch_us),
+    so only sum_value needs the round-4 float convention."""
+    from cov_tiles_spark.operators.sessions import session_stats, sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        session_stats(sessionize(ev, gap_sec=43_200))
+        .withColumn("session_id", F.col("session_id").cast("long"))
+        .orderBy("user_id", "session_id")
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs via hyperplane LSH (dedup #5;
     rows-only — pandas-UDF signatures)."""
@@ -1976,6 +2018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # were driver-verified green in rounds 2-4).
     return {
         # --- never driver-probed through round 4 ---
+        "q_bm25_topk": q_bm25_topk,
+        "q_sessionize": q_sessionize,
         "q_dsir_select": q_dsir_select,
         "q_text_pipeline": q_text_pipeline,
         "q_quality_classifier": q_quality_classifier,
@@ -2553,6 +2597,77 @@ def oracle_sql() -> dict[str, str]:
                           ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS tokens
               FROM documents)
             ORDER BY doc_id
+        """,
+        "q_bm25_topk": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE length(term) > 0 GROUP BY doc_id, term),
+            dl AS (
+              -- row-local like the Spark build (includes zero-token
+              -- docs, which a sum-over-tf derivation would drop)
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split(text, ' '),
+                                          x -> len(x) > 0)) AS DOUBLE)
+                       AS dl
+              FROM documents),
+            stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+              FROM dl),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            q AS (
+              SELECT DISTINCT doc_id AS query_id,
+                     unnest((string_split(text, ' '))[1:5]) AS term
+              FROM documents WHERE doc_id % 50 = 7),
+            qw AS (
+              SELECT q.query_id, q.term,
+                     ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) AS idf
+              FROM q JOIN dft USING (term) CROSS JOIN stats s),
+            hits AS (
+              SELECT qw.query_id, tf.doc_id,
+                     qw.idf * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / s.avgdl))
+                       AS sc
+              FROM tf JOIN qw USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN stats s),
+            scored AS (
+              SELECT query_id, doc_id, sum(sc) AS score
+              FROM hits GROUP BY query_id, doc_id),
+            ranked AS (
+              SELECT query_id, doc_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(score, 6) DESC, doc_id) AS INT)
+                       AS rank
+              FROM scored)
+            SELECT query_id, rank, doc_id FROM ranked
+            WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "q_sessionize": """
+            WITH e AS (
+              SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            flagged AS (
+              SELECT *, CASE WHEN prev IS NULL
+                              OR us - prev > 43200000000
+                         THEN 1 ELSE 0 END AS ns
+              FROM e),
+            sess AS (
+              SELECT *, sum(ns) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   max(us) - min(us) AS duration_us,
+                   round(sum(value), 4) AS sum_value
+            FROM sess GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
         """,
         "q_cosine_topk": """
             WITH q AS (
