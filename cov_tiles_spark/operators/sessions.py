@@ -22,9 +22,11 @@ Scale shape (the 100 TB lens):
   DuckDB twin (epoch_us) reproduces it bit-exactly — no float rounding
   in the gate.
 
-Streaming twin: the watermark-bounded state machinery in
-streaming/dedup.py extends to session windows via Spark's native
-``session_window`` — batch semantics here match its gap rule.
+Streaming twin: ``streaming/windowed.py sessionize_stream`` — the same
+gap rule as a custom stateful operator (``applyInPandasWithState``
+keyed by user). The batch form here closes every session; the streaming
+form additionally holds the open tail session in state
+(tests/test_bm25_sessions.py pins batch==stream on closed sessions).
 """
 
 from __future__ import annotations
