@@ -1636,10 +1636,12 @@ def q_bm25_topk(spark, sf_dir):
     ).select("query_id", "rank", "doc_id").orderBy("query_id", "rank")
 
 
-def q_sessionize(spark, sf_dir):
-    """Gap-based sessionization over ``events`` (12 h timeout) +
-    per-session stats (operators/sessions.py): ONE exchange on user_id
-    shared by the lag/cumsum window and the session aggregate; all gap
+def q_session_stats(spark, sf_dir):
+    """Per-SESSION stats via gap sessionization over ``events`` (12 h
+    timeout; operators/sessions.py) — complements q_sessionize's
+    per-user session COUNTS with the materialized sessions themselves:
+    ONE exchange on user_id shared by the lag/cumsum window and the
+    session aggregate; all gap
     math in exact integer microseconds (unix_micros ≡ DuckDB epoch_us),
     so only sum_value needs the round-4 float convention."""
     from cov_tiles_spark.operators.sessions import session_stats, sessionize
@@ -2019,7 +2021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-probed through round 4 ---
         "q_bm25_topk": q_bm25_topk,
-        "q_sessionize": q_sessionize,
+        "q_session_stats": q_session_stats,
         "q_dsir_select": q_dsir_select,
         "q_text_pipeline": q_text_pipeline,
         "q_quality_classifier": q_quality_classifier,
@@ -2645,7 +2647,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rank, doc_id FROM ranked
             WHERE rank <= 10 ORDER BY query_id, rank
         """,
-        "q_sessionize": """
+        "q_session_stats": """
             WITH e AS (
               SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
                      lag(epoch_us(ts)) OVER (
