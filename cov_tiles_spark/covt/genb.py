@@ -176,6 +176,18 @@ class GDataType(IntEnum):
 ID_COLUMN = "id"
 GEOMETRY_COLUMN = "geometry"
 
+# enum-by-code caches for the header-parse hot path: IntEnum.__call__
+# costs ~1.3 µs and runs twice per stream + twice per column — on a
+# 451-property tile (amazon/5_5_11) that is ~5k enum constructions per
+# decode, ~6% of the whole wall (profiled). A dict hit is ~20x cheaper;
+# invalid codes fall through to the enum call so the error stays a
+# ValueError for the fuzz suite.
+_STYPE_BY_CODE = {e.value: e for e in StreamType}
+_SENC_BY_CODE = {e.value: e for e in StreamEncoding}
+_GDTYPE_BY_CODE = {e.value: e for e in GDataType}
+_GCTYPE_BY_CODE = {e.value: e for e in GColumnType}
+_STYPE_NAME = {e: e.name.lower() for e in StreamType}
+
 # gen-B data type -> gen-A enum used by the shared PropertyColumn struct
 _TO_GENA = {
     GDataType.BOOLEAN: ColumnDataType.BOOLEAN,
@@ -884,16 +896,26 @@ def _decode_tile_genb_locked(
                 pos += ln
             desc = int(b[pos])
             pos += 1
-            dtype = GDataType((desc >> 3) & 0xF)
-            ctype = GColumnType(desc & 0x7)
+            dc, cc = (desc >> 3) & 0xF, desc & 0x7
+            dtype = _GDTYPE_BY_CODE.get(dc)
+            if dtype is None:  # zero-valued members are falsy: test None
+                dtype = GDataType(dc)  # raises ValueError on bad codes
+            ctype = _GCTYPE_BY_CODE.get(cc)
+            if ctype is None:
+                ctype = GColumnType(cc)
             if role == "property" and dtype == GDataType.GEOMETRY:
                 role = "geometry"  # non-optimized mode names it by string
             streams: list[tuple[StreamType, StreamEncoding, int, int]] = []
             while True:
                 sdesc = int(b[pos])
                 pos += 1
-                stype = StreamType(sdesc >> 4)
-                senc = StreamEncoding(sdesc & 0xF)
+                sc, ec = sdesc >> 4, sdesc & 0xF
+                stype = _STYPE_BY_CODE.get(sc)
+                if stype is None:  # PRESENT==0 is falsy: test None
+                    stype = StreamType(sc)  # ValueError on bad codes
+                senc = _SENC_BY_CODE.get(ec)
+                if senc is None:
+                    senc = StreamEncoding(ec)
                 nv, pos = decode_varint(b, pos)
                 bl, pos = decode_varint(b, pos)
                 streams.append((stype, senc, nv, bl))
@@ -989,7 +1011,7 @@ def _decode_tile_genb_locked(
                     data_type=_TO_GENA.get(dtype, ColumnDataType.GEOMETRY),
                     encoding=GenAEncoding.PLAIN,
                     streams={
-                        StreamType(st).name.lower(): StreamMetadata(nv, bl)
+                        _STYPE_NAME[st]: StreamMetadata(nv, bl)
                         for st, _, nv, bl in streams
                     },
                 )
