@@ -2005,6 +2005,104 @@ def q_sample_per_group(spark, sf_dir):
     )
 
 
+def _gen_hash(i):
+    """Shared synthesis hash h(event_id, i) for the generalization gates.
+
+    Literals duplicated in scripts/build_oracles.py ON PURPOSE (the twin
+    must not import this module) — change BOTH or the gate fails on
+    corpus mismatch.
+    """
+    return F.pmod(
+        F.col("event_id") * F.lit(40503) + i * F.lit(2654435761),
+        F.lit(2147483648),
+    )
+
+
+def _gen_ck_col(xs: str, ys: str):
+    """Position-weighted integer checksum sum_i i*(3*x_i + 7*y_i), 1-based —
+    order-sensitive and integer-exact, so it pins the full vertex sequence
+    without shipping array columns through the hash compare."""
+    agg = F.aggregate(
+        F.sequence(F.lit(1), F.size(xs)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + i.cast("long")
+        * (
+            F.lit(3) * F.element_at(F.col(xs), i)
+            + F.lit(7) * F.element_at(F.col(ys), i)
+        ),
+    )
+    # F.sequence(1, 0) DESCENDS on empty arrays (see CLAUDE.md) — guard
+    return F.when(F.size(xs) == 0, F.lit(0).cast("long")).otherwise(agg)
+
+
+def q_simplify_lines(spark, sf_dir, tol: int = 16):
+    """Integer-exact Douglas-Peucker line simplification
+    (spatial/generalize.py simplify_lines — the per-zoom generalization
+    step upstream of tile encode; map-only, no exchange). Input polylines
+    are synthesized JVM-side from event_id (monotone-x walk with hashed
+    y-jitter in [0,64), tol 16 → ~55% of vertices dropped). Oracle:
+    independent recursive-DP twin over exact Fractions
+    (scripts/build_oracles.py _dp_recursive)."""
+    from cov_tiles_spark.spatial.generalize import simplify_lines
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    pl = ev.select(
+        "event_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7) + F.pmod(F.col("event_id"), F.lit(25))),
+            lambda i: (i * F.lit(100) + F.pmod(_gen_hash(i), F.lit(37))).cast("long"),
+        ).alias("xs"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7) + F.pmod(F.col("event_id"), F.lit(25))),
+            lambda i: F.pmod(F.shiftright(_gen_hash(i), 7), F.lit(64)).cast("long"),
+        ).alias("ys"),
+    )
+    out = simplify_lines(pl, tolerance=tol)
+    return out.select(
+        "event_id",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_out").cast("long").alias("n_out"),
+        _gen_ck_col("xs", "ys").alias("ck"),
+    ).orderBy("event_id")
+
+
+def q_clip_polygons(spark, sf_dir):
+    """Sutherland-Hodgman ring clipping to a 256x256 tile box
+    (spatial/generalize.py clip_rings; exact integer round-half-up
+    intersections). Input rings are hashed-radius octagons centered in
+    [-64, 320)^2 so the corpus mixes fully-inside, fully-outside, and
+    crossing rings (~7.5% clip to empty). Oracle: independent
+    Fraction-rounding twin (scripts/build_oracles.py _sh_clip)."""
+    from cov_tiles_spark.spatial.generalize import clip_rings
+
+    dirs_x = F.array(*[F.lit(v) for v in (2, 1, 0, -1, -2, -1, 0, 1)])
+    dirs_y = F.array(*[F.lit(v) for v in (0, 1, 2, 1, 0, -1, -2, -1)])
+    cx = F.pmod(F.col("event_id") * F.lit(48271), F.lit(384)) - F.lit(64)
+    cy = F.pmod(F.col("event_id") * F.lit(69621), F.lit(384)) - F.lit(64)
+    radius = lambda i: F.lit(16) + F.pmod(_gen_hash(i), F.lit(48))  # noqa: E731
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    rings = ev.select(
+        "event_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: (cx + F.element_at(dirs_x, i + 1) * radius(i)).cast("long"),
+        ).alias("xs"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: (cy + F.element_at(dirs_y, i + 1) * radius(i)).cast("long"),
+        ).alias("ys"),
+    )
+    out = clip_rings(rings, bounds=(0, 0, 256, 256))
+    return out.select(
+        "event_id",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_out").cast("long").alias("n_out"),
+        "area2",
+        _gen_ck_col("xs", "ys").alias("ck"),
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2020,6 +2118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # were driver-verified green in rounds 2-4).
     return {
         # --- never driver-probed through round 4 ---
+        "q_simplify_lines": q_simplify_lines,
+        "q_clip_polygons": q_clip_polygons,
         "q_bm25_topk": q_bm25_topk,
         "q_session_stats": q_session_stats,
         "q_dsir_select": q_dsir_select,
@@ -2808,6 +2908,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell, n_points
             FROM read_parquet('{_ORACLE_DIR}/q_h3_cells.parquet')
             ORDER BY cell
+        """,
+        "q_simplify_lines": f"""
+            SELECT event_id, n_in, n_out, ck
+            FROM read_parquet('{_ORACLE_DIR}/q_simplify_lines.parquet')
+            ORDER BY event_id
+        """,
+        "q_clip_polygons": f"""
+            SELECT event_id, n_in, n_out, area2, ck
+            FROM read_parquet('{_ORACLE_DIR}/q_clip_polygons.parquet')
+            ORDER BY event_id
         """,
         "q_doc_fingerprint": f"""
             SELECT doc_id, fp

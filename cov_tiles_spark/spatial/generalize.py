@@ -1,0 +1,283 @@
+"""Geometry generalization for tile pipelines: Douglas-Peucker line
+simplification and Sutherland-Hodgman clipping to tile bounds.
+
+Every production tiling pipeline simplifies and clips geometry per zoom
+before encoding (the reference's tiles arrive pre-generalized from its
+OpenMapTiles source; these operators supply that upstream step so a
+Spark user can start from raw geometry). Both operators are MAP-ONLY:
+no shuffle, embarrassingly parallel per feature — at 100 TB they scale
+linearly with executors and add zero exchanges to the plan (pinned by
+`tests/test_generalize.py::test_simplify_plan_is_map_only`).
+
+Exactness contract (what makes these gate-able cross-engine):
+
+- Douglas-Peucker runs entirely in integer arithmetic. The
+  point-to-segment squared distance is compared as integers: with
+  segment (a,b), L = |b-a|^2, the perpendicular case compares
+  cross^2 > tol^2 * L (cross = (b-a) x (p-a)); the endpoint cases
+  compare d^2 * L > tol^2 * L. Within one (i,j) span all candidates
+  share L, so the max is selected on the scaled integer measure
+  directly. Ties: the FIRST (lowest-index) farthest point splits.
+  Python ints — no overflow for any input.
+- Sutherland-Hodgman clips against the four half-planes in the fixed
+  order left (x>=x0), right (x<=x1), bottom (y>=y0), top (y<=y1).
+  Intersection coordinates are rational; they are rounded to the
+  nearest integer with ties toward +infinity (round-half-up), computed
+  in exact integer arithmetic — see `_rdiv`. Because an interpolated
+  coordinate always lies between two in-range endpoints, rounding can
+  never push a vertex outside the clip box. Consecutive duplicate
+  vertices (including the wrap-around pair) are dropped after the last
+  pass; rings with fewer than 3 surviving vertices clip to empty.
+
+Independent twins implementing the same spec from scratch live in
+`scripts/build_oracles.py` (recursive DP; Fraction-based rounding) —
+the driver gates `q_simplify_lines` / `q_clip_polygons` hash Spark
+output against them.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "dp_keep_mask",
+    "simplify_polyline",
+    "clip_ring",
+    "simplify_lines",
+    "clip_rings",
+]
+
+
+# --------------------------------------------------------------- kernels
+
+
+def dp_keep_mask(xs: Sequence[int], ys: Sequence[int], tol: int) -> list[bool]:
+    """Douglas-Peucker keep mask over an open polyline, integer-exact.
+
+    Segment distance (not infinite-line): a candidate beyond either
+    endpoint measures distance to that endpoint. All comparisons are
+    exact integer products (see module docstring); `tol` is in the same
+    units as the coordinates.
+    """
+    n = len(xs)
+    if n <= 2:
+        return [True] * n
+    xs = [int(v) for v in xs]
+    ys = [int(v) for v in ys]
+    tol2 = int(tol) * int(tol)
+    keep = [False] * n
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        ax, ay = xs[i], ys[i]
+        bx, by = xs[j], ys[j]
+        dx, dy = bx - ax, by - ay
+        seg_l2 = dx * dx + dy * dy
+        best_k = -1
+        best_num = 0  # squared distance scaled by seg_l2 (or raw if degenerate)
+        for k in range(i + 1, j):
+            px, py = xs[k] - ax, ys[k] - ay
+            if seg_l2 == 0:
+                num = px * px + py * py
+            else:
+                dot = px * dx + py * dy
+                if dot <= 0:
+                    num = (px * px + py * py) * seg_l2
+                elif dot >= seg_l2:
+                    ex, ey = xs[k] - bx, ys[k] - by
+                    num = (ex * ex + ey * ey) * seg_l2
+                else:
+                    cross = dx * py - dy * px
+                    num = cross * cross
+            if num > best_num:
+                best_num = num
+                best_k = k
+        thr = tol2 * (seg_l2 if seg_l2 else 1)
+        if best_k >= 0 and best_num > thr:
+            keep[best_k] = True
+            stack.append((i, best_k))
+            stack.append((best_k, j))
+    return keep
+
+
+def simplify_polyline(
+    xs: Sequence[int], ys: Sequence[int], tol: int
+) -> tuple[list[int], list[int]]:
+    """Apply `dp_keep_mask`, returning the surviving vertex arrays."""
+    mask = dp_keep_mask(xs, ys, tol)
+    return (
+        [int(x) for x, m in zip(xs, mask) if m],
+        [int(y) for y, m in zip(ys, mask) if m],
+    )
+
+
+def _rdiv(num: int, den: int) -> int:
+    """Exact num/den rounded to the nearest integer, ties toward +inf."""
+    if den < 0:
+        num, den = -num, -den
+    q, r = divmod(num, den)
+    return q + (1 if 2 * r >= den else 0)
+
+
+def clip_ring(
+    xs: Sequence[int],
+    ys: Sequence[int],
+    x0: int,
+    y0: int,
+    x1: int,
+    y1: int,
+) -> tuple[list[int], list[int]]:
+    """Sutherland-Hodgman clip of one ring to [x0,x1] x [y0,y1].
+
+    The ring is implicit-closed (no repeated first vertex). Winding is
+    preserved. Returns ([], []) when the ring clips away entirely.
+    """
+    pts = [(int(x), int(y)) for x, y in zip(xs, ys)]
+    # (axis, bound, sign): inside iff sign * coord >= sign * bound
+    planes = ((0, x0, 1), (0, x1, -1), (1, y0, 1), (1, y1, -1))
+    for axis, bound, sign in planes:
+        if not pts:
+            break
+        out: list[tuple[int, int]] = []
+        prev = pts[-1]
+        prev_in = sign * prev[axis] >= sign * bound
+        for cur in pts:
+            cur_in = sign * cur[axis] >= sign * bound
+            if cur_in != prev_in:
+                # edge crosses the plane: interpolate the other axis
+                num = (
+                    prev[1 - axis] * (cur[axis] - bound)
+                    - cur[1 - axis] * (prev[axis] - bound)
+                )
+                den = cur[axis] - prev[axis]
+                ov = _rdiv(num, den)
+                out.append((bound, ov) if axis == 0 else (ov, bound))
+            if cur_in:
+                out.append(cur)
+            prev, prev_in = cur, cur_in
+        pts = out
+    # drop consecutive duplicates incl. the wrap pair
+    dedup: list[tuple[int, int]] = []
+    for p in pts:
+        if not dedup or p != dedup[-1]:
+            dedup.append(p)
+    if len(dedup) >= 2 and dedup[0] == dedup[-1]:
+        dedup.pop()
+    if len(dedup) < 3:
+        return [], []
+    return [p[0] for p in dedup], [p[1] for p in dedup]
+
+
+def ring_area2(xs: Sequence[int], ys: Sequence[int]) -> int:
+    """Twice the signed shoelace area of an implicit-closed ring."""
+    n = len(xs)
+    if n < 3:
+        return 0
+    acc = 0
+    for i in range(n):
+        j = (i + 1) % n
+        acc += int(xs[i]) * int(ys[j]) - int(xs[j]) * int(ys[i])
+    return acc
+
+
+# ------------------------------------------------------- Spark operators
+
+
+def _out_schema(df: DataFrame, xs_col: str, ys_col: str) -> StructType:
+    fields = []
+    for f in df.schema.fields:
+        if f.name in (xs_col, ys_col):
+            fields.append(StructField(f.name, ArrayType(LongType()), True))
+        else:
+            fields.append(f)
+    fields.append(StructField("n_in", IntegerType(), False))
+    fields.append(StructField("n_out", IntegerType(), False))
+    return StructType(fields)
+
+
+def simplify_lines(
+    df: DataFrame,
+    tolerance: int,
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+) -> DataFrame:
+    """Simplify every polyline row with integer Douglas-Peucker.
+
+    Map-only (no exchange): each Arrow batch is processed where it sits.
+    `xs_col`/`ys_col` are replaced with the surviving vertices; `n_in`
+    and `n_out` count vertices before/after. Rows with < 3 vertices pass
+    through unchanged.
+    """
+    schema = _out_schema(df, xs_col, ys_col)
+    other = [f.name for f in df.schema.fields if f.name not in (xs_col, ys_col)]
+    tol = int(tolerance)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            new_xs, new_ys, n_in, n_out = [], [], [], []
+            for xs, ys in zip(pdf[xs_col], pdf[ys_col]):
+                sx, sy = simplify_polyline(list(xs), list(ys), tol)
+                new_xs.append(sx)
+                new_ys.append(sy)
+                n_in.append(len(xs))
+                n_out.append(len(sx))
+            out = pdf[other].copy()
+            out[xs_col] = new_xs
+            out[ys_col] = new_ys
+            out["n_in"] = pd.array(n_in, dtype="int32")
+            out["n_out"] = pd.array(n_out, dtype="int32")
+            yield out[[f.name for f in schema.fields]]
+
+    return df.mapInPandas(run, schema)
+
+
+def clip_rings(
+    df: DataFrame,
+    bounds: tuple[int, int, int, int],
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+) -> DataFrame:
+    """Clip every ring row to `bounds` = (x0, y0, x1, y1).
+
+    Map-only. `xs_col`/`ys_col` are replaced with the clipped ring
+    (empty arrays when fully outside); adds `n_in`, `n_out`, and
+    `area2` (twice the signed shoelace area of the clipped ring).
+    """
+    x0, y0, x1, y1 = (int(v) for v in bounds)
+    base = _out_schema(df, xs_col, ys_col)
+    schema = StructType(base.fields + [StructField("area2", LongType(), False)])
+    other = [f.name for f in df.schema.fields if f.name not in (xs_col, ys_col)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            new_xs, new_ys, n_in, n_out, areas = [], [], [], [], []
+            for xs, ys in zip(pdf[xs_col], pdf[ys_col]):
+                cx, cy = clip_ring(list(xs), list(ys), x0, y0, x1, y1)
+                new_xs.append(cx)
+                new_ys.append(cy)
+                n_in.append(len(xs))
+                n_out.append(len(cx))
+                areas.append(ring_area2(cx, cy))
+            out = pdf[other].copy()
+            out[xs_col] = new_xs
+            out[ys_col] = new_ys
+            out["n_in"] = pd.array(n_in, dtype="int32")
+            out["n_out"] = pd.array(n_out, dtype="int32")
+            out["area2"] = pd.array(areas, dtype="int64")
+            yield out[[f.name for f in schema.fields]]
+
+    return df.mapInPandas(run, schema)

@@ -1329,8 +1329,151 @@ def q_heavy_hitters_bound(
     )
 
 
+# ------------------------------------------------- geometry generalization
+#
+# Independent twins of cov_tiles_spark/spatial/generalize.py. The synthesis
+# literals (hash constants, vertex counts, octagon template, clip box) are
+# duplicated from __spark_entry__.q_simplify_lines / q_clip_polygons ON
+# PURPOSE — this module must not import the entry. The kernels are written
+# from the shared spec, not from the Spark module: recursive DP over exact
+# Fraction distances (vs iterative stack over scaled integers) and
+# Fraction-based round-half-up clipping (vs divmod integer rounding).
+
+_GEN_M31 = 1 << 31
+_GEN_DIRS = ((2, 0), (1, 1), (0, 2), (-1, 1), (-2, 0), (-1, -1), (0, -2), (1, -1))
+
+
+def _gen_h(eid: int, i: int) -> int:
+    return (eid * 40503 + i * 2654435761) % _GEN_M31
+
+
+def _dp_recursive(xs: list, ys: list, tol: int) -> list:
+    """Recursive Douglas-Peucker returning kept indices (twin kernel).
+
+    Spec: segment (not infinite-line) distance; the FIRST lowest-index
+    farthest point splits; split iff dist > tol strictly. Distances are
+    exact `Fraction`s so the comparison is drift-free.
+    """
+    from fractions import Fraction
+
+    n = len(xs)
+    if n <= 2:
+        return list(range(n))
+
+    def seg_d2(k: int, i: int, j: int) -> "Fraction":
+        ax, ay, bx, by, px, py = xs[i], ys[i], xs[j], ys[j], xs[k], ys[k]
+        dx, dy = bx - ax, by - ay
+        l2 = dx * dx + dy * dy
+        if l2 == 0:
+            return Fraction((px - ax) ** 2 + (py - ay) ** 2)
+        t = Fraction((px - ax) * dx + (py - ay) * dy, l2)
+        if t <= 0:
+            return Fraction((px - ax) ** 2 + (py - ay) ** 2)
+        if t >= 1:
+            return Fraction((px - bx) ** 2 + (py - by) ** 2)
+        cross = dx * (py - ay) - dy * (px - ax)
+        return Fraction(cross * cross, l2)
+
+    kept = set()
+
+    def rec(i: int, j: int) -> None:
+        kept.add(i)
+        kept.add(j)
+        if j <= i + 1:
+            return
+        best_k, best = -1, Fraction(0)
+        for k in range(i + 1, j):
+            d2 = seg_d2(k, i, j)
+            if d2 > best:
+                best, best_k = d2, k
+        if best_k >= 0 and best > tol * tol:
+            rec(i, best_k)
+            rec(best_k, j)
+
+    rec(0, n - 1)
+    return sorted(kept)
+
+
+def _sh_clip(xs: list, ys: list, x0: int, y0: int, x1: int, y1: int):
+    """Sutherland-Hodgman twin: Fraction interpolation, round-half-up."""
+    from fractions import Fraction
+
+    pts = list(zip(xs, ys))
+    for axis, bound, sign in ((0, x0, 1), (0, x1, -1), (1, y0, 1), (1, y1, -1)):
+        if not pts:
+            break
+        out = []
+        prev = pts[-1]
+        prev_in = sign * prev[axis] >= sign * bound
+        for cur in pts:
+            cur_in = sign * cur[axis] >= sign * bound
+            if cur_in != prev_in:
+                f = Fraction(
+                    prev[1 - axis] * (cur[axis] - bound)
+                    - cur[1 - axis] * (prev[axis] - bound),
+                    cur[axis] - prev[axis],
+                )
+                # round to nearest, ties toward +infinity
+                ov = math.floor(f + Fraction(1, 2))
+                out.append((bound, ov) if axis == 0 else (ov, bound))
+            if cur_in:
+                out.append(cur)
+            prev, prev_in = cur, cur_in
+        pts = out
+    dedup = []
+    for p in pts:
+        if not dedup or p != dedup[-1]:
+            dedup.append(p)
+    if len(dedup) >= 2 and dedup[0] == dedup[-1]:
+        dedup.pop()
+    if len(dedup) < 3:
+        return [], []
+    return [p[0] for p in dedup], [p[1] for p in dedup]
+
+
+def _gen_ck(xs: list, ys: list) -> int:
+    return sum((i + 1) * (3 * x + 7 * y) for i, (x, y) in enumerate(zip(xs, ys)))
+
+
+def q_simplify_lines(sf_dir: str, tol: int = 16) -> pd.DataFrame:
+    ev = load(sf_dir, "events")
+    rows = []
+    for eid in ev["event_id"].astype(int):
+        m = 8 + eid % 25
+        xs = [i * 100 + _gen_h(eid, i) % 37 for i in range(m)]
+        ys = [(_gen_h(eid, i) >> 7) % 64 for i in range(m)]
+        idx = _dp_recursive(xs, ys, tol)
+        sx = [xs[i] for i in idx]
+        sy = [ys[i] for i in idx]
+        rows.append((eid, m, len(sx), _gen_ck(sx, sy)))
+    return pd.DataFrame(
+        rows, columns=["event_id", "n_in", "n_out", "ck"]
+    ).astype("int64").sort_values("event_id", ignore_index=True)
+
+
+def q_clip_polygons(sf_dir: str) -> pd.DataFrame:
+    ev = load(sf_dir, "events")
+    rows = []
+    for eid in ev["event_id"].astype(int):
+        cx = (eid * 48271) % 384 - 64
+        cy = (eid * 69621) % 384 - 64
+        xs = [cx + _GEN_DIRS[i][0] * (16 + _gen_h(eid, i) % 48) for i in range(8)]
+        ys = [cy + _GEN_DIRS[i][1] * (16 + _gen_h(eid, i) % 48) for i in range(8)]
+        ox, oy = _sh_clip(xs, ys, 0, 0, 256, 256)
+        n = len(ox)
+        area2 = sum(
+            ox[i] * oy[(i + 1) % n] - ox[(i + 1) % n] * oy[i] for i in range(n)
+        ) if n >= 3 else 0
+        rows.append((eid, 8, n, area2, _gen_ck(ox, oy)))
+    return pd.DataFrame(
+        rows, columns=["event_id", "n_in", "n_out", "area2", "ck"]
+    ).astype("int64").sort_values("event_id", ignore_index=True)
+
+
 ORACLES = {
     "q_hilbert_cells": q_hilbert_cells,
+    "q_simplify_lines": q_simplify_lines,
+    "q_clip_polygons": q_clip_polygons,
     "q_heavy_hitters_bound": q_heavy_hitters_bound,
     "q_h3_cells": q_h3_cells,
     "q_doc_fingerprint": q_doc_fingerprint,

@@ -1,0 +1,238 @@
+"""Douglas-Peucker simplification + Sutherland-Hodgman clip tests.
+
+Kernel correctness vs an independent recursive/Fraction reference
+written here (the committed gate twins in scripts/build_oracles.py are
+a third implementation), plus Spark-level equivalence and the map-only
+plan pin.
+"""
+
+from __future__ import annotations
+
+import random
+from fractions import Fraction
+
+import pytest
+
+from cov_tiles_spark.spatial.generalize import (
+    clip_ring,
+    dp_keep_mask,
+    ring_area2,
+    simplify_polyline,
+)
+
+
+# ------------------------------------------------- recursive reference
+
+
+def _ref_seg_dist2(px, py, ax, ay, bx, by) -> Fraction:
+    dx, dy = bx - ax, by - ay
+    l2 = dx * dx + dy * dy
+    if l2 == 0:
+        return Fraction((px - ax) ** 2 + (py - ay) ** 2)
+    t = Fraction((px - ax) * dx + (py - ay) * dy, l2)
+    if t <= 0:
+        return Fraction((px - ax) ** 2 + (py - ay) ** 2)
+    if t >= 1:
+        return Fraction((px - bx) ** 2 + (py - by) ** 2)
+    cx = ax + t * dx
+    cy = ay + t * dy
+    return (px - cx) ** 2 + (py - cy) ** 2
+
+
+def _ref_dp(xs, ys, tol):
+    n = len(xs)
+    if n <= 2:
+        return list(range(n))
+
+    keep = set()
+
+    def rec(i, j):
+        keep.add(i)
+        keep.add(j)
+        if j <= i + 1:
+            return
+        best, best_d = -1, Fraction(-1)
+        for k in range(i + 1, j):
+            d = _ref_seg_dist2(xs[k], ys[k], xs[i], ys[i], xs[j], ys[j])
+            if d > best_d:
+                best, best_d = k, d
+        if best >= 0 and best_d > tol * tol:
+            rec(i, best)
+            rec(best, j)
+
+    rec(0, n - 1)
+    return sorted(keep)
+
+
+class TestDouglasPeucker:
+    def test_collinear_noise_below_tol_collapses(self):
+        xs = list(range(0, 160, 8))
+        ys = [100 + (i % 3 - 1) for i in range(20)]  # noise within 1
+        sx, sy = simplify_polyline(xs, ys, 8)
+        assert sx == [xs[0], xs[-1]]
+        assert sy == [ys[0], ys[-1]]
+
+    def test_spike_above_tol_kept(self):
+        xs = list(range(0, 88, 8))
+        ys = [100] * 11
+        ys[5] = 300
+        sx, sy = simplify_polyline(xs, ys, 8)
+        assert (40, 300) in set(zip(sx, sy))
+        # the spike's flat neighbors are themselves > tol from the split
+        # chords (perp distance ~31 from the slope-5 chord), so DP keeps
+        # them too — verify against the independent recursive reference
+        keep = [i for i, m in enumerate(dp_keep_mask(xs, ys, 8)) if m]
+        assert keep == _ref_dp(xs, ys, 8)
+
+    def test_endpoint_distance_case(self):
+        # hook: candidate projects beyond segment end -> endpoint distance
+        xs = [0, 50, 10]
+        ys = [0, 0, 1]
+        # point (50,0) vs segment (0,0)-(10,1): dot >> L, dist to (10,1) = 40.01
+        mask = dp_keep_mask(xs, ys, 20)
+        assert mask == [True, True, True]
+
+    def test_degenerate_closed_endpoints(self):
+        # identical endpoints: seg_l2 == 0 path measures raw distance
+        xs = [5, 9, 5]
+        ys = [5, 5, 5]
+        assert dp_keep_mask(xs, ys, 3) == [True, True, True]
+        assert dp_keep_mask(xs, ys, 4) == [True, False, True]
+
+    def test_tie_matches_reference_on_symmetric_input(self):
+        # two symmetric equal-distance bumps; both sides use strict >
+        # (first-max split), so the kept sets must agree exactly
+        xs = [0, 10, 30, 40]
+        ys = [0, 7, -7, 0]
+        mask = dp_keep_mask(xs, ys, 6)
+        assert [i for i, m in enumerate(mask) if m] == _ref_dp(xs, ys, 6)
+
+    def test_short_lines_pass_through(self):
+        assert dp_keep_mask([1], [2], 5) == [True]
+        assert dp_keep_mask([1, 9], [2, 3], 5) == [True, True]
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_matches_recursive_fraction_reference(self, seed):
+        rng = random.Random(seed)
+        n = rng.randrange(3, 60)
+        xs = [rng.randrange(0, 5000) for _ in range(n)]
+        ys = [rng.randrange(0, 5000) for _ in range(n)]
+        tol = rng.choice([1, 5, 50, 400])
+        mask = dp_keep_mask(xs, ys, tol)
+        got = [i for i, m in enumerate(mask) if m]
+        assert got == _ref_dp(xs, ys, tol)
+
+
+# --------------------------------------------------------------- clip
+
+
+class TestClipRing:
+    BOX = (0, 0, 4096, 4096)
+
+    def test_fully_inside_unchanged(self):
+        xs, ys = [10, 100, 50], [10, 20, 90]
+        cx, cy = clip_ring(xs, ys, *self.BOX)
+        assert (cx, cy) == (xs, ys)
+
+    def test_fully_outside_empty(self):
+        cx, cy = clip_ring([-50, -10, -30], [5, 5, 40], *self.BOX)
+        assert (cx, cy) == ([], [])
+
+    def test_corner_square_clips_to_rectangle(self):
+        # square straddling the (0,0) corner
+        cx, cy = clip_ring([-64, 64, 64, -64], [-32, -32, 32, 32], *self.BOX)
+        assert sorted(zip(cx, cy)) == [(0, 0), (0, 32), (64, 0), (64, 32)]
+        assert abs(ring_area2(cx, cy)) == 2 * 64 * 32
+
+    def test_rounding_half_toward_plus_inf(self):
+        # edge (-1,0)->(1,1) crosses x=0 at y=1/2 -> rounds to 1;
+        # edge (-1,-1)->(1,0) crosses at y=-1/2 -> rounds to 0
+        tri_x = [-1, 1, 1, -1]
+        tri_y = [0, 1, 0, -1]
+        cx, cy = clip_ring(tri_x, tri_y, 0, -10, 10, 10)
+        pts = set(zip(cx, cy))
+        assert (0, 1) in pts
+        assert (0, 0) in pts
+
+    def test_winding_preserved(self):
+        ccw = clip_ring([-64, 64, 64, -64], [-32, -32, 32, 32], *self.BOX)
+        cw = clip_ring([-64, 64, 64, -64], [32, 32, -32, -32], *self.BOX)
+        assert ring_area2(*ccw) > 0
+        assert ring_area2(*cw) < 0
+        assert ring_area2(*ccw) == -ring_area2(*cw)
+
+    def test_interpolated_vertices_stay_in_box(self):
+        rng = random.Random(7)
+        for _ in range(50):
+            cxc = rng.randrange(-512, 4608)
+            cyc = rng.randrange(-512, 4608)
+            s = rng.randrange(16, 1100)
+            offs = [(0, -s), (s // 2 + 3, -(s // 3)), (s, s // 5),
+                    (-(s // 4), s), (-s, s // 2)]
+            xs = [cxc + ox for ox, _ in offs]
+            ys = [cyc + oy for _, oy in offs]
+            cx, cy = clip_ring(xs, ys, *self.BOX)
+            assert all(0 <= v <= 4096 for v in cx)
+            assert all(0 <= v <= 4096 for v in cy)
+
+    def test_wrap_duplicate_removed(self):
+        # clipping can emit the same point at start and end
+        cx, cy = clip_ring([2048, 5000, 5000, 2048], [0, 0, 100, 100], *self.BOX)
+        assert len(cx) == len(set(zip(cx, cy)))
+
+
+# ------------------------------------------------------------- Spark
+
+
+@pytest.fixture(scope="module")
+def lines_df(spark):
+    rows = []
+    rng = random.Random(3)
+    for lid in range(12):
+        n = rng.randrange(3, 40)
+        xs = [i * 8 for i in range(n)]
+        ys = [2048 + rng.randrange(-3, 4) + (300 if i % 9 == 4 else 0)
+              for i in range(n)]
+        rows.append((lid, xs, ys))
+    return spark.createDataFrame(rows, "line_id long, xs array<long>, ys array<long>")
+
+
+class TestSparkOperators:
+    def test_simplify_lines_matches_kernel(self, spark, lines_df):
+        from cov_tiles_spark.spatial.generalize import simplify_lines
+
+        got = {
+            r["line_id"]: (list(r["xs"]), list(r["ys"]), r["n_in"], r["n_out"])
+            for r in simplify_lines(lines_df, 8).collect()
+        }
+        for r in lines_df.collect():
+            sx, sy = simplify_polyline(r["xs"], r["ys"], 8)
+            assert got[r["line_id"]] == (sx, sy, len(r["xs"]), len(sx))
+
+    def test_simplify_plan_is_map_only(self, spark, lines_df):
+        from cov_tiles_spark.spatial.generalize import simplify_lines
+
+        plan = simplify_lines(lines_df, 8)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_clip_rings_matches_kernel(self, spark):
+        from cov_tiles_spark.spatial.generalize import clip_rings
+
+        rows = []
+        rng = random.Random(11)
+        for pid in range(40):
+            cxc = rng.randrange(-512, 4608)
+            cyc = rng.randrange(-512, 4608)
+            s = rng.randrange(16, 1100)
+            offs = [(0, -s), (s // 2 + 3, -(s // 3)), (s, s // 5),
+                    (-(s // 4), s), (-s, s // 2)]
+            rows.append((pid, [cxc + ox for ox, _ in offs],
+                         [cyc + oy for _, oy in offs]))
+        df = spark.createDataFrame(rows, "poly_id long, xs array<long>, ys array<long>")
+        got = {
+            r["poly_id"]: (list(r["xs"]), list(r["ys"]), r["n_out"], r["area2"])
+            for r in clip_rings(df, (0, 0, 4096, 4096)).collect()
+        }
+        for pid, xs, ys in rows:
+            cx, cy = clip_ring(xs, ys, 0, 0, 4096, 4096)
+            assert got[pid] == (cx, cy, len(cx), ring_area2(cx, cy))
