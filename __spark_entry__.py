@@ -2103,6 +2103,46 @@ def q_clip_polygons(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q_clip_lines(spark, sf_dir):
+    """Polyline-to-tile-box clipping with multi-part explode
+    (spatial/generalize.py clip_lines — per-segment successive
+    half-plane clip, parts chain while the joint vertex survives;
+    map-only, the explode happens inside the Arrow batch). Corpus: walks
+    crossing the 256-box left-to-right with hashed y-jumps (~56%
+    multi-part, ~6% fully outside via the eid%17 +400 lift). Oracle:
+    independent Fraction-rounding twin (scripts/build_oracles.py
+    _clip_polyline_twin)."""
+    from cov_tiles_spark.spatial.generalize import clip_lines
+
+    off = F.when(F.pmod(F.col("event_id"), F.lit(17)) == 0, F.lit(400)).otherwise(
+        F.lit(0)
+    )
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    lines = ev.select(
+        "event_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(5) + F.pmod(F.col("event_id"), F.lit(11))),
+            lambda i: (i * F.lit(56) - F.lit(64) + F.pmod(_gen_hash(i), F.lit(32))).cast(
+                "long"
+            ),
+        ).alias("xs"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(5) + F.pmod(F.col("event_id"), F.lit(11))),
+            lambda i: (
+                F.pmod(F.shiftright(_gen_hash(i), 5), F.lit(384)) - F.lit(64) + off
+            ).cast("long"),
+        ).alias("ys"),
+    )
+    out = clip_lines(lines, bounds=(0, 0, 256, 256))
+    return out.select(
+        "event_id",
+        F.col("part").cast("long").alias("part"),
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_pts").cast("long").alias("n_pts"),
+        _gen_ck_col("xs", "ys").alias("ck"),
+    ).orderBy("event_id", "part")
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2120,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-probed through round 4 ---
         "q_simplify_lines": q_simplify_lines,
         "q_clip_polygons": q_clip_polygons,
+        "q_clip_lines": q_clip_lines,
         "q_bm25_topk": q_bm25_topk,
         "q_session_stats": q_session_stats,
         "q_dsir_select": q_dsir_select,
@@ -2918,6 +2959,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, n_in, n_out, area2, ck
             FROM read_parquet('{_ORACLE_DIR}/q_clip_polygons.parquet')
             ORDER BY event_id
+        """,
+        "q_clip_lines": f"""
+            SELECT event_id, part, n_in, n_pts, ck
+            FROM read_parquet('{_ORACLE_DIR}/q_clip_lines.parquet')
+            ORDER BY event_id, part
         """,
         "q_doc_fingerprint": f"""
             SELECT doc_id, fp

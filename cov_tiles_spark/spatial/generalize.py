@@ -54,8 +54,10 @@ __all__ = [
     "dp_keep_mask",
     "simplify_polyline",
     "clip_ring",
+    "clip_polyline",
     "simplify_lines",
     "clip_rings",
+    "clip_lines",
 ]
 
 
@@ -182,6 +184,79 @@ def clip_ring(
     return [p[0] for p in dedup], [p[1] for p in dedup]
 
 
+def _clip_segment(
+    ax: int, ay: int, bx: int, by: int, x0: int, y0: int, x1: int, y1: int
+):
+    """Clip one segment to the box via the same successive half-plane
+    order and round-half-up interpolation as `clip_ring`. Returns
+    (ax, ay, bx, by) or None when the segment is entirely outside."""
+    a, b = (ax, ay), (bx, by)
+    for axis, bound, sign in ((0, x0, 1), (0, x1, -1), (1, y0, 1), (1, y1, -1)):
+        a_in = sign * a[axis] >= sign * bound
+        b_in = sign * b[axis] >= sign * bound
+        if not a_in and not b_in:
+            return None
+        if a_in and b_in:
+            continue
+        num = a[1 - axis] * (b[axis] - bound) - b[1 - axis] * (a[axis] - bound)
+        den = b[axis] - a[axis]
+        ov = _rdiv(num, den)
+        p = (bound, ov) if axis == 0 else (ov, bound)
+        if a_in:
+            b = p
+        else:
+            a = p
+    return a[0], a[1], b[0], b[1]
+
+
+def clip_polyline(
+    xs: Sequence[int],
+    ys: Sequence[int],
+    x0: int,
+    y0: int,
+    x1: int,
+    y1: int,
+) -> list[tuple[list[int], list[int]]]:
+    """Clip an open polyline to [x0,x1] x [y0,y1], returning PARTS.
+
+    Each segment is clipped independently (`_clip_segment`); consecutive
+    surviving segments whose joint vertex survives intact chain into one
+    part, otherwise a new part starts. Segments that round to a single
+    point are dropped (they contribute no length and would create
+    degenerate parts); parts always have >= 2 vertices.
+    """
+    xs = [int(v) for v in xs]
+    ys = [int(v) for v in ys]
+    parts: list[tuple[list[int], list[int]]] = []
+    cur_x: list[int] = []
+    cur_y: list[int] = []
+
+    def flush() -> None:
+        nonlocal cur_x, cur_y
+        if len(cur_x) >= 2:
+            parts.append((cur_x, cur_y))
+        cur_x, cur_y = [], []
+
+    for i in range(len(xs) - 1):
+        seg = _clip_segment(xs[i], ys[i], xs[i + 1], ys[i + 1], x0, y0, x1, y1)
+        if seg is None:
+            flush()
+            continue
+        ax, ay, bx, by = seg
+        if (ax, ay) == (bx, by):
+            flush()
+            continue
+        if cur_x and (cur_x[-1], cur_y[-1]) == (ax, ay):
+            cur_x.append(bx)
+            cur_y.append(by)
+        else:
+            flush()
+            cur_x = [ax, bx]
+            cur_y = [ay, by]
+    flush()
+    return parts
+
+
 def ring_area2(xs: Sequence[int], ys: Sequence[int]) -> int:
     """Twice the signed shoelace area of an implicit-closed ring."""
     n = len(xs)
@@ -241,6 +316,53 @@ def simplify_lines(
             out["n_in"] = pd.array(n_in, dtype="int32")
             out["n_out"] = pd.array(n_out, dtype="int32")
             yield out[[f.name for f in schema.fields]]
+
+    return df.mapInPandas(run, schema)
+
+
+def clip_lines(
+    df: DataFrame,
+    bounds: tuple[int, int, int, int],
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+) -> DataFrame:
+    """Clip every polyline row to `bounds`, exploding into PARTS.
+
+    Map-only (the explode happens inside the Arrow batch, no shuffle).
+    Output: one row per surviving part, with the non-geometry columns
+    carried through plus `part` (0-based index within the source row),
+    `n_in` (source vertex count), and `n_pts` (part vertex count).
+    Rows that clip away entirely emit no output rows.
+    """
+    x0, y0, x1, y1 = (int(v) for v in bounds)
+    other = [f for f in df.schema.fields if f.name not in (xs_col, ys_col)]
+    schema = StructType(
+        [*other,
+         StructField("part", IntegerType(), False),
+         StructField(xs_col, ArrayType(LongType()), True),
+         StructField(ys_col, ArrayType(LongType()), True),
+         StructField("n_in", IntegerType(), False),
+         StructField("n_pts", IntegerType(), False)]
+    )
+    other_names = [f.name for f in other]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in schema.fields]
+        for pdf in batches:
+            rows: list[tuple] = []
+            others = [pdf[c] for c in other_names]
+            for vals in zip(pdf[xs_col], pdf[ys_col], *others):
+                xs, ys = list(vals[0]), list(vals[1])
+                for p, (px, py) in enumerate(
+                    clip_polyline(xs, ys, x0, y0, x1, y1)
+                ):
+                    rows.append((*vals[2:], p, px, py, len(xs), len(px)))
+            if not rows:
+                continue
+            out = pd.DataFrame(rows, columns=cols)
+            for c in ("part", "n_in", "n_pts"):
+                out[c] = out[c].astype("int32")
+            yield out
 
     return df.mapInPandas(run, schema)
 

@@ -1431,6 +1431,73 @@ def _sh_clip(xs: list, ys: list, x0: int, y0: int, x1: int, y1: int):
     return [p[0] for p in dedup], [p[1] for p in dedup]
 
 
+def _clip_seg_twin(a, b, x0, y0, x1, y1):
+    """Segment-to-box twin: same successive half-plane spec as the ring
+    clipper, Fraction interpolation with round-half-up."""
+    from fractions import Fraction
+
+    for axis, bound, sign in ((0, x0, 1), (0, x1, -1), (1, y0, 1), (1, y1, -1)):
+        a_in = sign * a[axis] >= sign * bound
+        b_in = sign * b[axis] >= sign * bound
+        if not a_in and not b_in:
+            return None
+        if a_in and b_in:
+            continue
+        f = Fraction(
+            a[1 - axis] * (b[axis] - bound) - b[1 - axis] * (a[axis] - bound),
+            b[axis] - a[axis],
+        )
+        ov = math.floor(f + Fraction(1, 2))
+        p = (bound, ov) if axis == 0 else (ov, bound)
+        if a_in:
+            b = p
+        else:
+            a = p
+    return a, b
+
+
+def _clip_polyline_twin(xs, ys, x0, y0, x1, y1):
+    """Part-chaining twin of clip_polyline: per-segment clip, chain while
+    the joint vertex survives intact, drop point-degenerate segments."""
+    parts, cur = [], []
+    for i in range(len(xs) - 1):
+        seg = _clip_seg_twin(
+            (xs[i], ys[i]), (xs[i + 1], ys[i + 1]), x0, y0, x1, y1
+        )
+        if seg is None or seg[0] == seg[1]:
+            if len(cur) >= 2:
+                parts.append(cur)
+            cur = []
+            continue
+        a, b = seg
+        if cur and cur[-1] == a:
+            cur.append(b)
+        else:
+            if len(cur) >= 2:
+                parts.append(cur)
+            cur = [a, b]
+    if len(cur) >= 2:
+        parts.append(cur)
+    return parts
+
+
+def q_clip_lines(sf_dir: str) -> pd.DataFrame:
+    ev = load(sf_dir, "events")
+    rows = []
+    for eid in ev["event_id"].astype(int):
+        m = 6 + eid % 11
+        off = 400 if eid % 17 == 0 else 0
+        xs = [i * 56 - 64 + _gen_h(eid, i) % 32 for i in range(m)]
+        ys = [(_gen_h(eid, i) >> 5) % 384 - 64 + off for i in range(m)]
+        for p, part in enumerate(_clip_polyline_twin(xs, ys, 0, 0, 256, 256)):
+            px = [v[0] for v in part]
+            py = [v[1] for v in part]
+            rows.append((eid, p, m, len(px), _gen_ck(px, py)))
+    return pd.DataFrame(
+        rows, columns=["event_id", "part", "n_in", "n_pts", "ck"]
+    ).astype("int64").sort_values(["event_id", "part"], ignore_index=True)
+
+
 def _gen_ck(xs: list, ys: list) -> int:
     return sum((i + 1) * (3 * x + 7 * y) for i, (x, y) in enumerate(zip(xs, ys)))
 
@@ -1474,6 +1541,7 @@ ORACLES = {
     "q_hilbert_cells": q_hilbert_cells,
     "q_simplify_lines": q_simplify_lines,
     "q_clip_polygons": q_clip_polygons,
+    "q_clip_lines": q_clip_lines,
     "q_heavy_hitters_bound": q_heavy_hitters_bound,
     "q_h3_cells": q_h3_cells,
     "q_doc_fingerprint": q_doc_fingerprint,

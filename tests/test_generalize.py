@@ -14,6 +14,7 @@ from fractions import Fraction
 import pytest
 
 from cov_tiles_spark.spatial.generalize import (
+    clip_polyline,
     clip_ring,
     dp_keep_mask,
     ring_area2,
@@ -181,6 +182,68 @@ class TestClipRing:
         assert len(cx) == len(set(zip(cx, cy)))
 
 
+class TestClipPolyline:
+    BOX = (0, 0, 256, 256)
+
+    def test_fully_inside_one_part(self):
+        xs, ys = [10, 100, 50], [10, 20, 90]
+        assert clip_polyline(xs, ys, *self.BOX) == [(xs, ys)]
+
+    def test_fully_outside_no_parts(self):
+        assert clip_polyline([-50, -10, -30], [5, 5, 40], *self.BOX) == []
+
+    def test_out_and_back_splits_into_two_parts(self):
+        # enters, leaves through the right edge, re-enters
+        xs = [10, 300, 10]
+        ys = [100, 100, 120]
+        parts = clip_polyline(xs, ys, *self.BOX)
+        assert len(parts) == 2
+        (ax, ay), (bx, by) = parts
+        assert ax == [10, 256] and ay == [100, 100]
+        assert bx[0] == 256 and bx[-1] == 10 and by[-1] == 120
+
+    def test_joint_on_boundary_keeps_one_part(self):
+        # the shared vertex sits exactly on the edge: both segments keep
+        # it intact, so the chain does NOT break
+        xs = [10, 256, 10]
+        ys = [50, 100, 150]
+        parts = clip_polyline(xs, ys, *self.BOX)
+        assert len(parts) == 1
+        assert parts[0] == ([10, 256, 10], [50, 100, 150])
+
+    def test_corner_graze_degenerate_segment_dropped(self):
+        # segment passes exactly through the (0,0) corner: clips to the
+        # single point (0,0) -> dropped, no 1-vertex parts
+        parts = clip_polyline([-10, 10], [10, -10], *self.BOX)
+        assert parts == []
+
+    def test_crossing_segment_rounding_matches_ring_rule(self):
+        # (-1,0)->(1,1) crosses x=0 at y=1/2 -> rounds to 1 (half up)
+        parts = clip_polyline([-1, 1], [0, 1], 0, -10, 10, 10)
+        assert parts == [([0, 1], [1, 1])]
+
+    def test_parts_stay_in_box_and_have_min_two_vertices(self):
+        rng = random.Random(13)
+        for _ in range(60):
+            n = rng.randrange(2, 25)
+            xs = [rng.randrange(-200, 456) for _ in range(n)]
+            ys = [rng.randrange(-200, 456) for _ in range(n)]
+            for px, py in clip_polyline(xs, ys, *self.BOX):
+                assert len(px) >= 2
+                assert all(0 <= v <= 256 for v in px)
+                assert all(0 <= v <= 256 for v in py)
+
+    def test_interior_vertices_preserved_verbatim(self):
+        # vertices inside the box must survive untouched (no re-rounding)
+        xs = [-50, 17, 101, 400]
+        ys = [33, 41, 77, 90]
+        parts = clip_polyline(xs, ys, *self.BOX)
+        assert len(parts) == 1
+        px, py = parts[0]
+        assert (17, 41) in set(zip(px, py))
+        assert (101, 77) in set(zip(px, py))
+
+
 # ------------------------------------------------------------- Spark
 
 
@@ -213,6 +276,36 @@ class TestSparkOperators:
         from cov_tiles_spark.spatial.generalize import simplify_lines
 
         plan = simplify_lines(lines_df, 8)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_clip_lines_matches_kernel(self, spark):
+        from cov_tiles_spark.spatial.generalize import clip_lines
+
+        rows = []
+        rng = random.Random(29)
+        for lid in range(40):
+            n = rng.randrange(2, 20)
+            rows.append((lid,
+                         [rng.randrange(-200, 456) for _ in range(n)],
+                         [rng.randrange(-200, 456) for _ in range(n)]))
+        df = spark.createDataFrame(rows, "line_id long, xs array<long>, ys array<long>")
+        out = clip_lines(df, (0, 0, 256, 256)).collect()
+        got: dict = {}
+        for r in out:
+            got.setdefault(r["line_id"], []).append(
+                (r["part"], list(r["xs"]), list(r["ys"]), r["n_in"], r["n_pts"])
+            )
+        for lid, xs, ys in rows:
+            parts = clip_polyline(xs, ys, 0, 0, 256, 256)
+            want = [(p, px, py, len(xs), len(px))
+                    for p, (px, py) in enumerate(parts)]
+            assert sorted(got.get(lid, [])) == want
+
+    def test_clip_lines_plan_is_map_only(self, spark, lines_df):
+        from cov_tiles_spark.spatial.generalize import clip_lines
+
+        plan = (clip_lines(lines_df, (0, 0, 256, 256))
+                ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan
 
     def test_clip_rings_matches_kernel(self, spark):
