@@ -269,6 +269,63 @@ def ring_area2(xs: Sequence[int], ys: Sequence[int]) -> int:
     return acc
 
 
+def simplify_mvt_layers(layers, tolerance: int):
+    """Per-zoom generalization pass over decoded MVT layers.
+
+    DP-simplifies every LINESTRING / MULTI_LINESTRING part of every
+    feature (`covt/mvt.py MvtFeature.geom_type == 2`) with integer
+    tolerance `tolerance`; points and polygons pass through untouched
+    (ring simplification can invalidate shared-boundary topology, so it
+    is deliberately out of scope). `tolerance <= 0` returns the input
+    list unchanged (NOT tol-0 DP, which would still drop exactly
+    collinear interior vertices).
+
+    Returns ``(new_layers, stats)`` where stats is a dict with
+    `vertices_in` / `vertices_out` counted over the simplified parts
+    only. The pass sits between `decode_mvt` and `mvt_to_genb` /
+    `mvt_to_covt` in a transcode pipeline; the codec itself never
+    changes bytes (the golden-fixture gates stay byte-identical unless
+    the caller opts in).
+    """
+    from cov_tiles_spark.covt.mvt import MvtFeature, MvtLayer
+
+    if tolerance <= 0:
+        return layers, {"vertices_in": 0, "vertices_out": 0}
+    v_in = v_out = 0
+    out_layers = []
+    for layer in layers:
+        feats = []
+        for f in layer.features:
+            if f.geom_type != 2:
+                feats.append(f)
+                continue
+            parts = []
+            for p in f.geometry:
+                xs = [v[0] for v in p]
+                ys = [v[1] for v in p]
+                sx, sy = simplify_polyline(xs, ys, tolerance)
+                v_in += len(xs)
+                v_out += len(sx)
+                parts.append(list(zip(sx, sy)))
+            feats.append(
+                MvtFeature(
+                    id=f.id,
+                    geom_type=f.geom_type,
+                    geometry=parts,
+                    properties=f.properties,
+                )
+            )
+        out_layers.append(
+            MvtLayer(
+                name=layer.name,
+                extent=layer.extent,
+                version=layer.version,
+                features=feats,
+            )
+        )
+    return out_layers, {"vertices_in": v_in, "vertices_out": v_out}
+
+
 # ------------------------------------------------------- Spark operators
 
 

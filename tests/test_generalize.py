@@ -244,6 +244,68 @@ class TestClipPolyline:
         assert (101, 77) in set(zip(px, py))
 
 
+class TestSimplifyMvtLayers:
+    GOLDEN = "/root/reference/parser/js/data/omt/5_16_20.mvt"
+
+    def _load(self):
+        from cov_tiles_spark.covt.mvt import decode_mvt
+
+        with open(self.GOLDEN, "rb") as fh:
+            return decode_mvt(fh.read())
+
+    def test_nonpositive_tolerance_is_identity(self):
+        from cov_tiles_spark.spatial.generalize import simplify_mvt_layers
+
+        layers = self._load()
+        out, stats = simplify_mvt_layers(layers, 0)
+        assert out is layers
+        assert stats == {"vertices_in": 0, "vertices_out": 0}
+
+    def test_golden_tile_simplify_reencode(self):
+        from cov_tiles_spark.covt.genb import decode_tile_genb
+        from cov_tiles_spark.covt.mvt import encode_mvt
+        from cov_tiles_spark.pipeline.transcode import mvt_to_genb
+        from cov_tiles_spark.spatial.generalize import (
+            simplify_mvt_layers,
+            simplify_polyline,
+        )
+
+        layers = self._load()
+        out, stats = simplify_mvt_layers(layers, 4)
+        # lines got shorter, per the kernel, feature-for-feature
+        assert 0 < stats["vertices_out"] < stats["vertices_in"]
+        for lin, lout in zip(layers, out):
+            assert len(lin.features) == len(lout.features)
+            for fin, fout in zip(lin.features, lout.features):
+                assert fin.properties == fout.properties
+                assert fin.id == fout.id
+                if fin.geom_type != 2:
+                    assert fout.geometry == fin.geometry
+                    continue
+                for pin, pout in zip(fin.geometry, fout.geometry):
+                    sx, sy = simplify_polyline(
+                        [v[0] for v in pin], [v[1] for v in pin], 4
+                    )
+                    assert pout == list(zip(sx, sy))
+
+        def rebytes(ls):
+            return encode_mvt(
+                [(
+                    l.name,
+                    [{"id": f.id, "geom_type": f.geom_type,
+                      "parts": f.geometry, "properties": f.properties}
+                     for f in l.features],
+                    l.extent,
+                ) for l in ls]
+            )
+
+        base = mvt_to_genb(rebytes(layers))[0]
+        slim, slim_tj, _, _ = mvt_to_genb(rebytes(out))
+        assert len(slim) < len(base)
+        decoded = decode_tile_genb(slim, tilejson=slim_tj)
+        assert set(decoded.keys()) == {l.name for l in layers}
+
+
 # ------------------------------------------------------------- Spark
 
 
