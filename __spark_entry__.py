@@ -2143,6 +2143,46 @@ def q_clip_lines(spark, sf_dir):
     ).orderBy("event_id", "part")
 
 
+def q_ring_metrics(spark, sf_dir):
+    """Per-feature geometry metrics + small-feature culling flag, pure
+    JVM (spatial/generalize.py ring_area2_col / bbox_cols — F.aggregate
+    shoelace over the vertex arrays, whole-stage codegen, no Python
+    worker; the tippecanoe-style drop-smallest predicate is a free
+    scan-time filter at 100 TB). Corpus: the q_clip_polygons octagons,
+    unclipped. LIVE DuckDB twin: the synthesis is stateless per vertex
+    index, so the twin recomputes every vertex from (event_id, i) via
+    generate_series and aggregates the same shoelace — no oracle
+    parquet, a genuine second engine-side implementation."""
+    from cov_tiles_spark.spatial.generalize import bbox_cols, ring_area2_col
+
+    dirs_x = F.array(*[F.lit(v) for v in (2, 1, 0, -1, -2, -1, 0, 1)])
+    dirs_y = F.array(*[F.lit(v) for v in (0, 1, 2, 1, 0, -1, -2, -1)])
+    cx = F.pmod(F.col("event_id") * F.lit(48271), F.lit(384)) - F.lit(64)
+    cy = F.pmod(F.col("event_id") * F.lit(69621), F.lit(384)) - F.lit(64)
+    radius = lambda i: F.lit(16) + F.pmod(_gen_hash(i), F.lit(48))  # noqa: E731
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    rings = ev.select(
+        "event_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: (cx + F.element_at(dirs_x, i + 1) * radius(i)).cast("long"),
+        ).alias("xs"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: (cy + F.element_at(dirs_y, i + 1) * radius(i)).cast("long"),
+        ).alias("ys"),
+    )
+    w, h = bbox_cols("xs", "ys")
+    area2 = ring_area2_col("xs", "ys")
+    return rings.select(
+        "event_id",
+        area2.alias("area2"),
+        w.alias("bbox_w"),
+        h.alias("bbox_h"),
+        (F.abs(area2) >= 23000).alias("kept"),
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2161,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simplify_lines": q_simplify_lines,
         "q_clip_polygons": q_clip_polygons,
         "q_clip_lines": q_clip_lines,
+        "q_ring_metrics": q_ring_metrics,
         "q_bm25_topk": q_bm25_topk,
         "q_session_stats": q_session_stats,
         "q_dsir_select": q_dsir_select,
@@ -2964,6 +3005,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, part, n_in, n_pts, ck
             FROM read_parquet('{_ORACLE_DIR}/q_clip_lines.parquet')
             ORDER BY event_id, part
+        """,
+        # LIVE twin: the octagon synthesis is stateless per vertex index,
+        # so every vertex is recomputed from (event_id, i) and the
+        # shoelace/bbox aggregated in plain SQL — no oracle parquet.
+        "q_ring_metrics": """
+            WITH v AS (
+              SELECT e.event_id, g.i,
+                     (e.event_id * 48271) % 384 - 64
+                       + (CASE g.i WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 0
+                          WHEN 3 THEN -1 WHEN 4 THEN -2 WHEN 5 THEN -1
+                          WHEN 6 THEN 0 ELSE 1 END)
+                       * (16 + (e.event_id * 40503 + g.i * 2654435761)
+                               % 2147483648 % 48) AS x,
+                     (e.event_id * 69621) % 384 - 64
+                       + (CASE g.i WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                          WHEN 3 THEN 1 WHEN 4 THEN 0 WHEN 5 THEN -1
+                          WHEN 6 THEN -2 ELSE -1 END)
+                       * (16 + (e.event_id * 40503 + g.i * 2654435761)
+                               % 2147483648 % 48) AS y
+              FROM events e, generate_series(0, 7) AS g(i)
+            ),
+            pair AS (
+              SELECT a.event_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+              FROM v a JOIN v b
+                ON a.event_id = b.event_id AND b.i = (a.i + 1) % 8
+            )
+            SELECT event_id,
+                   cast(sum(x1 * y2 - x2 * y1) as bigint) AS area2,
+                   cast(max(x1) - min(x1) as bigint) AS bbox_w,
+                   cast(max(y1) - min(y1) as bigint) AS bbox_h,
+                   abs(sum(x1 * y2 - x2 * y1)) >= 23000 AS kept
+            FROM pair GROUP BY event_id ORDER BY event_id
         """,
         "q_doc_fingerprint": f"""
             SELECT doc_id, fp

@@ -58,6 +58,10 @@ __all__ = [
     "simplify_lines",
     "clip_rings",
     "clip_lines",
+    "ring_area2_col",
+    "bbox_cols",
+    "drop_small_rings",
+    "simplify_mvt_layers",
 ]
 
 
@@ -267,6 +271,50 @@ def ring_area2(xs: Sequence[int], ys: Sequence[int]) -> int:
         j = (i + 1) % n
         acc += int(xs[i]) * int(ys[j]) - int(xs[j]) * int(ys[i])
     return acc
+
+
+def ring_area2_col(xs_col: str, ys_col: str):
+    """Twice the signed shoelace area of an implicit-closed ring column,
+    as a pure JVM expression (F.aggregate over the vertex arrays — no
+    Python worker anywhere). Column twin of `ring_area2`; rings with
+    fewer than 3 vertices evaluate to 0.
+    """
+    xs, ys = F.col(xs_col), F.col(ys_col)
+    n = F.size(xs_col)
+    acc = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0).cast("long"),
+        lambda a, i: a
+        + F.element_at(xs, i) * F.element_at(ys, F.pmod(i, n) + 1)
+        - F.element_at(xs, F.pmod(i, n) + 1) * F.element_at(ys, i),
+    )
+    # F.sequence(1, n) descends for n == 0 (see CLAUDE.md) — guard n < 3
+    return F.when(n < 3, F.lit(0).cast("long")).otherwise(acc)
+
+
+def bbox_cols(xs_col: str, ys_col: str):
+    """(width, height) of a vertex-array feature's bounding box — JVM
+    array_max/array_min, no Python."""
+    w = F.array_max(xs_col) - F.array_min(xs_col)
+    h = F.array_max(ys_col) - F.array_min(ys_col)
+    return w.cast("long"), h.cast("long")
+
+
+def drop_small_rings(
+    df: DataFrame,
+    min_area2: int,
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+) -> DataFrame:
+    """Per-zoom small-feature culling (the tippecanoe `--drop-smallest`
+    step): keep rings with |shoelace area2| >= `min_area2`. Entirely a
+    JVM column expression — the filter participates in whole-stage
+    codegen and adds no exchange and no Python worker, so at 100 TB it
+    is a free scan-time predicate.
+    """
+    return df.where(
+        F.abs(ring_area2_col(xs_col, ys_col)) >= F.lit(int(min_area2))
+    )
 
 
 def simplify_mvt_layers(layers, tolerance: int):

@@ -370,6 +370,41 @@ class TestSparkOperators:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan
 
+    def test_ring_area2_col_matches_kernel(self, spark):
+        from cov_tiles_spark.spatial.generalize import bbox_cols, ring_area2_col
+
+        rows = []
+        rng = random.Random(41)
+        for rid in range(30):
+            n = rng.randrange(1, 12)
+            rows.append((rid,
+                         [rng.randrange(-500, 500) for _ in range(n)],
+                         [rng.randrange(-500, 500) for _ in range(n)]))
+        df = spark.createDataFrame(rows, "rid long, xs array<long>, ys array<long>")
+        w, h = bbox_cols("xs", "ys")
+        got = {r["rid"]: (r["a2"], r["w"], r["h"])
+               for r in df.select("rid", ring_area2_col("xs", "ys").alias("a2"),
+                                  w.alias("w"), h.alias("h")).collect()}
+        for rid, xs, ys in rows:
+            assert got[rid] == (ring_area2(xs, ys),
+                                max(xs) - min(xs), max(ys) - min(ys))
+
+    def test_drop_small_rings_jvm_only(self, spark):
+        from cov_tiles_spark.spatial.generalize import (
+            drop_small_rings,
+            ring_area2,
+        )
+
+        rows = [(0, [0, 10, 10, 0], [0, 0, 10, 10]),      # area2 200
+                (1, [0, 100, 100, 0], [0, 0, 100, 100]),  # area2 20000
+                (2, [0, 100, 100, 0], [100, 100, 0, 0])]  # cw, -20000
+        df = spark.createDataFrame(rows, "rid long, xs array<long>, ys array<long>")
+        out = drop_small_rings(df, 1000)
+        assert sorted(r["rid"] for r in out.collect()) == [1, 2]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "ArrowEval" not in plan
+
     def test_clip_rings_matches_kernel(self, spark):
         from cov_tiles_spark.spatial.generalize import clip_rings
 
