@@ -2153,7 +2153,11 @@ def q_ring_metrics(spark, sf_dir):
     index, so the twin recomputes every vertex from (event_id, i) via
     generate_series and aggregates the same shoelace — no oracle
     parquet, a genuine second engine-side implementation."""
-    from cov_tiles_spark.spatial.generalize import bbox_cols, ring_area2_col
+    from cov_tiles_spark.spatial.generalize import (
+        bbox_cols,
+        ring_area2_col,
+        ring_centroid_cols,
+    )
 
     dirs_x = F.array(*[F.lit(v) for v in (2, 1, 0, -1, -2, -1, 0, 1)])
     dirs_y = F.array(*[F.lit(v) for v in (0, 1, 2, 1, 0, -1, -2, -1)])
@@ -2174,11 +2178,14 @@ def q_ring_metrics(spark, sf_dir):
     )
     w, h = bbox_cols("xs", "ys")
     area2 = ring_area2_col("xs", "ys")
+    cx_num, cy_num = ring_centroid_cols("xs", "ys")
     return rings.select(
         "event_id",
         area2.alias("area2"),
         w.alias("bbox_w"),
         h.alias("bbox_h"),
+        cx_num.alias("cx_num"),
+        cy_num.alias("cy_num"),
         (F.abs(area2) >= 23000).alias("kept"),
     ).orderBy("event_id")
 
@@ -3035,6 +3042,10 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(x1 * y2 - x2 * y1) as bigint) AS area2,
                    cast(max(x1) - min(x1) as bigint) AS bbox_w,
                    cast(max(y1) - min(y1) as bigint) AS bbox_h,
+                   cast(sum((x1 + x2) * (x1 * y2 - x2 * y1)) as bigint)
+                     AS cx_num,
+                   cast(sum((y1 + y2) * (x1 * y2 - x2 * y1)) as bigint)
+                     AS cy_num,
                    abs(sum(x1 * y2 - x2 * y1)) >= 23000 AS kept
             FROM pair GROUP BY event_id ORDER BY event_id
         """,

@@ -292,6 +292,39 @@ def ring_area2_col(xs_col: str, ys_col: str):
     return F.when(n < 3, F.lit(0).cast("long")).otherwise(acc)
 
 
+def ring_centroid_cols(xs_col: str, ys_col: str):
+    """Integer-exact polygon-centroid numerators (label anchor points).
+
+    The centroid of an implicit-closed ring is
+    ``(cx_num / (3*area2), cy_num / (3*area2))`` with
+    ``cx_num = sum (x_i + x_j) * (x_i*y_j - x_j*y_i)`` over wrap-around
+    vertex pairs (j = i+1 mod n) — the numerators and denominator are
+    exact integers, so cross-engine comparison has zero float drift;
+    callers divide only at render time. Pure JVM `F.aggregate`, same
+    zero-Python plan as `ring_area2_col`. Returns (cx_num, cy_num).
+    """
+    xs, ys = F.col(xs_col), F.col(ys_col)
+    n = F.size(xs_col)
+
+    def make(sel):
+        return F.when(n < 3, F.lit(0).cast("long")).otherwise(
+            F.aggregate(
+                F.sequence(F.lit(1), n),
+                F.lit(0).cast("long"),
+                lambda a, i: a
+                + sel(i)
+                * (
+                    F.element_at(xs, i) * F.element_at(ys, F.pmod(i, n) + 1)
+                    - F.element_at(xs, F.pmod(i, n) + 1) * F.element_at(ys, i)
+                ),
+            )
+        )
+
+    cx = make(lambda i: F.element_at(xs, i) + F.element_at(xs, F.pmod(i, n) + 1))
+    cy = make(lambda i: F.element_at(ys, i) + F.element_at(ys, F.pmod(i, n) + 1))
+    return cx, cy
+
+
 def bbox_cols(xs_col: str, ys_col: str):
     """(width, height) of a vertex-array feature's bounding box — JVM
     array_max/array_min, no Python."""

@@ -389,6 +389,30 @@ class TestSparkOperators:
             assert got[rid] == (ring_area2(xs, ys),
                                 max(xs) - min(xs), max(ys) - min(ys))
 
+    def test_ring_centroid_cols_exact(self, spark):
+        from cov_tiles_spark.spatial.generalize import ring_centroid_cols
+
+        # unit square centered at (5, 5): centroid numerators / (3*area2)
+        # must give exactly (5, 5); plus a python cross-check on an
+        # irregular ring
+        rows = [(0, [0, 10, 10, 0], [0, 0, 10, 10]),
+                (1, [0, 7, 9, 2, -3], [0, 1, 8, 12, 4])]
+        df = spark.createDataFrame(rows, "rid long, xs array<long>, ys array<long>")
+        cx, cy = ring_centroid_cols("xs", "ys")
+        got = {r["rid"]: (r["cx"], r["cy"])
+               for r in df.select("rid", cx.alias("cx"), cy.alias("cy")).collect()}
+        a2_sq = ring_area2([0, 10, 10, 0], [0, 0, 10, 10])
+        assert got[0] == (5 * 3 * a2_sq, 5 * 3 * a2_sq)
+        for rid, xs, ys in rows:
+            n = len(xs)
+            cxn = sum((xs[i] + xs[(i + 1) % n])
+                      * (xs[i] * ys[(i + 1) % n] - xs[(i + 1) % n] * ys[i])
+                      for i in range(n))
+            cyn = sum((ys[i] + ys[(i + 1) % n])
+                      * (xs[i] * ys[(i + 1) % n] - xs[(i + 1) % n] * ys[i])
+                      for i in range(n))
+            assert got[rid] == (cxn, cyn)
+
     def test_drop_small_rings_jvm_only(self, spark):
         from cov_tiles_spark.spatial.generalize import (
             drop_small_rings,
