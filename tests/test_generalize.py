@@ -244,6 +244,45 @@ class TestClipPolyline:
         assert (101, 77) in set(zip(px, py))
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _coords = st.lists(
+        st.tuples(st.integers(-600, 5000), st.integers(-600, 5000)),
+        min_size=3, max_size=24,
+    )
+
+    class TestClipProperties:
+        """Hypothesis invariants: every clip output is inside the box,
+        and clipping is idempotent (the output is already inside, so a
+        second pass crosses no plane and must be a no-op)."""
+
+        BOX = (0, 0, 4096, 4096)
+
+        @settings(max_examples=120, deadline=None)
+        @given(_coords)
+        def test_ring_contained_and_idempotent(self, pts):
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            cx, cy = clip_ring(xs, ys, *self.BOX)
+            assert all(0 <= v <= 4096 for v in cx + cy)
+            assert clip_ring(cx, cy, *self.BOX) == (cx, cy)
+
+        @settings(max_examples=120, deadline=None)
+        @given(_coords)
+        def test_line_parts_contained_and_idempotent(self, pts):
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            parts = clip_polyline(xs, ys, *self.BOX)
+            for px, py in parts:
+                assert all(0 <= v <= 4096 for v in px + py)
+                assert clip_polyline(px, py, *self.BOX) == [(px, py)]
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
 class TestSimplifyMvtLayers:
     GOLDEN = "/root/reference/parser/js/data/omt/5_16_20.mvt"
 
