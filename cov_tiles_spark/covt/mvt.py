@@ -357,6 +357,21 @@ def encode_mvt(layers: list[tuple[str, list[dict], int]]) -> bytes:
     return b"".join(encode_mvt_layer(n, f, e) for n, f, e in layers)
 
 
+def encode_mvt_layers(layers: list[MvtLayer]) -> bytes:
+    """Re-encode decoded `MvtLayer` objects back to MVT bytes — the
+    inverse of `decode_mvt` for pipelines that edit geometry in between
+    (e.g. the opt-in generalization pass in pipeline/transcode.py)."""
+    return encode_mvt(
+        [(
+            l.name,
+            [{"id": f.id, "geom_type": f.geom_type,
+              "parts": f.geometry, "properties": f.properties}
+             for f in l.features],
+            l.extent,
+        ) for l in layers]
+    )
+
+
 def _varint_len_vec(v: np.ndarray) -> np.ndarray:
     """Byte length of the LEB128 varint for each (non-negative) value."""
     u = v.astype(np.uint64)

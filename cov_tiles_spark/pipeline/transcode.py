@@ -443,7 +443,7 @@ def _features_match(
 
 def _transcode_batches(
     batches: Iterator[pd.DataFrame], reorder_genb: bool = False,
-    allow_tae_genb: bool = False,
+    allow_tae_genb: bool = False, simplify_tolerance: int = 0,
 ) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
@@ -453,11 +453,25 @@ def _transcode_batches(
                 raw = _gzip.decompress(raw)
             m = _ZXY_RE.search(row["path"])
             z, x, y = (int(m.group(i)) for i in (1, 2, 3)) if m else (-1, -1, -1)
-            covt, n_layers, n_features = mvt_to_covt(raw)
-            mvt_layers = decode_mvt(raw)
+            if simplify_tolerance > 0:
+                from cov_tiles_spark.covt.mvt import encode_mvt_layers
+                from cov_tiles_spark.spatial.generalize import (
+                    simplify_mvt_layers,
+                )
+
+                slim, _ = simplify_mvt_layers(
+                    decode_mvt(raw), simplify_tolerance
+                )
+                # mvt_bytes below stays the SOURCE size, so the ratio
+                # columns then include the generalization gain (opt-in)
+                enc_src = encode_mvt_layers(slim)
+            else:
+                enc_src = raw
+            covt, n_layers, n_features = mvt_to_covt(enc_src)
+            mvt_layers = decode_mvt(enc_src)
             ok = verify_roundtrip(covt, mvt_layers)
             genb, tilejson, _, _ = mvt_to_genb(
-                raw, reorder=reorder_genb, allow_tae=allow_tae_genb
+                enc_src, reorder=reorder_genb, allow_tae=allow_tae_genb
             )
             genb_ok = verify_genb_roundtrip(
                 genb, tilejson, mvt_layers, any_order=reorder_genb
@@ -485,13 +499,21 @@ def _transcode_batches(
 
 def transcode_mvt_directory(
     spark: SparkSession, glob_path: str, reorder_genb: bool = False,
-    allow_tae_genb: bool = False,
+    allow_tae_genb: bool = False, simplify_tolerance: int = 0,
 ) -> DataFrame:
     """Transcode every .mvt/.pbf under ``glob_path`` to COVT, verified.
 
     ``reorder_genb=True`` turns on the per-layer feature-order argmin
     for the gen-B encode (see :func:`mvt_to_genb`) — the offline/parity
-    setting (~3x encode cost, never larger output)."""
+    setting (~3x encode cost, never larger output).
+
+    ``simplify_tolerance>0`` runs the opt-in generalization pass
+    (spatial/generalize.py `simplify_mvt_layers`: DP line
+    simplification, points/polygons untouched) before both encodes;
+    roundtrip verification then runs against the simplified geometry,
+    and the `mvt_bytes` column keeps the SOURCE size so the ratio
+    columns include the generalization gain. Default 0 = byte-identical
+    to the fixture-gated path."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.{mvt,pbf}")
@@ -501,7 +523,8 @@ def transcode_mvt_directory(
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield from _transcode_batches(
-            batches, reorder_genb=reorder_genb, allow_tae_genb=allow_tae_genb
+            batches, reorder_genb=reorder_genb, allow_tae_genb=allow_tae_genb,
+            simplify_tolerance=simplify_tolerance,
         )
 
     return files.mapInPandas(_batches, schema=TRANSCODE_SCHEMA)

@@ -16,7 +16,7 @@ import glob
 import os
 import sys
 
-from cov_tiles_spark.covt.mvt import decode_mvt, encode_mvt
+from cov_tiles_spark.covt.mvt import decode_mvt, encode_mvt_layers as rebytes
 from cov_tiles_spark.pipeline.transcode import mvt_to_genb
 from cov_tiles_spark.spatial.generalize import simplify_mvt_layers
 
@@ -24,18 +24,6 @@ GOLDEN = sorted(
     glob.glob("/root/reference/parser/js/data/omt/*.mvt")
     + glob.glob("/root/reference/parser/js/data/bing/*.mvt")
 )
-
-
-def rebytes(layers) -> bytes:
-    return encode_mvt(
-        [(
-            l.name,
-            [{"id": f.id, "geom_type": f.geom_type,
-              "parts": f.geometry, "properties": f.properties}
-             for f in l.features],
-            l.extent,
-        ) for l in layers]
-    )
 
 
 def main() -> None:

@@ -10,6 +10,23 @@ from pyspark.sql import functions as F
 from cov_tiles_spark.pipeline.transcode import transcode_mvt_directory
 
 
+def test_transcode_with_generalization_pass(spark):
+    # Bing tiles are NOT pre-simplified (BENCH/BASELINE.md generalization
+    # table): the opt-in pass must shrink the gen-B total while every
+    # tile still verifies against its simplified geometry
+    base = transcode_mvt_directory(
+        spark, "/root/reference/parser/js/data/bing"
+    ).agg(F.sum("genb_bytes").alias("b")).collect()[0].b
+    slim = transcode_mvt_directory(
+        spark, "/root/reference/parser/js/data/bing", simplify_tolerance=8
+    ).cache()
+    rows = slim.collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r.verified and r.genb_verified, r.path
+    assert sum(r.genb_bytes for r in rows) < base
+
+
 def test_transcode_reference_omt_tiles(spark):
     result = transcode_mvt_directory(
         spark, "/root/reference/parser/js/data/omt"
