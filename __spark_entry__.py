@@ -2190,6 +2190,79 @@ def q_ring_metrics(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q_merge_lines(spark, sf_dir):
+    """Line-fragment merging (spatial/generalize.py merge_lines — the
+    tippecanoe-style pre-simplify chaining of 3-5-vertex road fragments;
+    ONE group-key exchange + sorted-stream mapInPandas, deterministic
+    under any input partitioning because processing order is the sorted
+    (group, ord) order). Corpus: each event's banded route is cut into
+    fragments at hashed positions and processed in hashed order within
+    group = event_id % 256; the twin replays cut + greedy chaining
+    with an independent deque-based implementation
+    (scripts/build_oracles.py _merge_twin)."""
+    from cov_tiles_spark.spatial.generalize import merge_lines
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    m = F.lit(8) + F.pmod(F.col("event_id"), F.lit(25))
+    x_at = lambda i: (i * F.lit(100) + F.pmod(_gen_hash(i), F.lit(37))).cast("long")  # noqa: E731
+    y_at = lambda i: (  # noqa: E731
+        F.pmod(F.col("event_id"), F.lit(97)) * F.lit(64)
+        + F.pmod(F.shiftright(_gen_hash(i), 7), F.lit(64))
+    ).cast("long")
+    k_at = lambda j: F.lit(2) + F.pmod(_gen_hash(F.lit(100) + j), F.lit(3))  # noqa: E731
+    # cut start c_j = 2j + sum_{l<j} (k_l - 2); F.sequence(0, -1) descends,
+    # so the j = 0 prefix sum is guarded (see CLAUDE.md)
+    c_at = lambda j: j * F.lit(2) + F.when(  # noqa: E731
+        j == 0, F.lit(0).cast("long")
+    ).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(0), j - 1),
+            F.lit(0).cast("long"),
+            lambda acc, l: acc + (k_at(l) - F.lit(2)).cast("long"),
+        )
+    )
+    frags = (
+        ev.select(
+            "event_id",
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
+        )
+        .select(
+            "event_id",
+            "j",
+            c_at(F.col("j")).alias("start"),
+        )
+        .where(F.col("start") < m - 1)
+        .select(
+            "event_id",
+            "j",
+            "start",
+            F.least(F.col("start") + k_at(F.col("j")), m - 1).alias("end"),
+        )
+    )
+    frags = frags.select(
+        F.pmod(F.col("event_id"), F.lit(256)).alias("g"),
+        (
+            F.shiftleft(_gen_hash(F.lit(200) + F.col("j")), 26)
+            + F.shiftleft(F.shiftright(F.col("event_id"), 8), 5)
+            + F.col("j")
+        ).alias("ord"),
+        F.transform(
+            F.sequence(F.col("start"), F.col("end")), x_at
+        ).alias("xs"),
+        F.transform(
+            F.sequence(F.col("start"), F.col("end")), y_at
+        ).alias("ys"),
+    )
+    out = merge_lines(frags, ["g"], "ord")
+    return out.select(
+        "g",
+        F.col("chain").cast("long").alias("chain"),
+        F.col("n_frags").cast("long").alias("n_frags"),
+        F.col("n_pts").cast("long").alias("n_pts"),
+        _gen_ck_col("xs", "ys").alias("ck"),
+    ).orderBy("g", "chain")
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2209,6 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_clip_polygons": q_clip_polygons,
         "q_clip_lines": q_clip_lines,
         "q_ring_metrics": q_ring_metrics,
+        "q_merge_lines": q_merge_lines,
         "q_bm25_topk": q_bm25_topk,
         "q_session_stats": q_session_stats,
         "q_dsir_select": q_dsir_select,
@@ -3012,6 +3086,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, part, n_in, n_pts, ck
             FROM read_parquet('{_ORACLE_DIR}/q_clip_lines.parquet')
             ORDER BY event_id, part
+        """,
+        "q_merge_lines": f"""
+            SELECT g, chain, n_frags, n_pts, ck
+            FROM read_parquet('{_ORACLE_DIR}/q_merge_lines.parquet')
+            ORDER BY g, chain
         """,
         # LIVE twin: the octagon synthesis is stateless per vertex index,
         # so every vertex is recomputed from (event_id, i) and the

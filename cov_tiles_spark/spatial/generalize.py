@@ -61,6 +61,8 @@ __all__ = [
     "ring_area2_col",
     "bbox_cols",
     "drop_small_rings",
+    "merge_fragments",
+    "merge_lines",
     "simplify_mvt_layers",
 ]
 
@@ -347,6 +349,134 @@ def drop_small_rings(
     """
     return df.where(
         F.abs(ring_area2_col(xs_col, ys_col)) >= F.lit(int(min_area2))
+    )
+
+
+def merge_fragments(
+    frags: "Sequence[tuple[Sequence[int], Sequence[int]]]",
+) -> list[tuple[list[int], list[int], int]]:
+    """Greedy endpoint chaining of line fragments (the tippecanoe-style
+    pre-simplify merge: road networks arrive as many 2-4 vertex
+    fragments; merging them first makes DP simplification effective
+    across the whole chain).
+
+    DETERMINISTIC SPEC (the gate twin implements the same rules):
+    fragments are processed in input order. A live-ends map holds at
+    most one (chain, side) per coordinate, FIRST registration wins. For
+    each fragment: if its START matches a live end, attach there
+    (fragment forward); else if its END matches, attach reversed; else
+    it starts a new chain. Attaching consumes the matched end and
+    registers the fragment's far endpoint for that side (skipped if the
+    coordinate is already live — that side then simply stops growing).
+    Chains never join with other chains. Output is chains in creation
+    order as (xs, ys, n_fragments).
+    """
+    chains: list[dict] = []
+    ends: dict[tuple[int, int], tuple[int, int]] = {}  # coord -> (ci, side)
+
+    def register(coord, ci, side):
+        if coord not in ends:
+            ends[coord] = (ci, side)
+
+    for xs, ys in frags:
+        pts = [(int(x), int(y)) for x, y in zip(xs, ys)]
+        s, e = pts[0], pts[-1]
+        hit = ends.get(s)
+        rev = False
+        if hit is None:
+            hit = ends.get(e)
+            rev = hit is not None
+        if hit is None:
+            ci = len(chains)
+            chains.append({"pts": pts, "frags": 1})
+            register(s, ci, 0)
+            register(e, ci, 1)
+            continue
+        ci, side = hit
+        c = chains[ci]
+        att = pts[::-1] if rev else pts  # att[0] is the matched joint
+        del ends[att[0]]
+        if side == 1:  # extend at tail
+            c["pts"].extend(att[1:])
+        else:  # extend at head: chain becomes far..joint + old pts
+            c["pts"][:0] = att[:0:-1]
+        register(att[-1], ci, side)
+        c["frags"] += 1
+    return [
+        ([p[0] for p in c["pts"]], [p[1] for p in c["pts"]], c["frags"])
+        for c in chains
+    ]
+
+
+def merge_lines(
+    df: DataFrame,
+    group_cols: "Sequence[str]",
+    order_col: str,
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+) -> DataFrame:
+    """Merge line fragments into chains per group (e.g. per tile+class).
+
+    ONE exchange on the group key, then a sorted-stream `mapInPandas`
+    with cross-batch carry — NOT per-group `applyInPandas` (the ~6 ms
+    per group Arrow-channel cost serializes many-small-group stages; see
+    CLAUDE.md). Fragments are processed in `(group, order_col)` order,
+    which makes the greedy chaining deterministic under any input
+    partitioning. Output: one row per chain with the group columns,
+    `chain` (creation index), `xs`/`ys`, `n_frags`, `n_pts`.
+    """
+    gcols = list(group_cols)
+    fields = [df.schema[c] for c in gcols]
+    schema = StructType(
+        fields
+        + [
+            StructField("chain", IntegerType(), False),
+            StructField(xs_col, ArrayType(LongType()), True),
+            StructField(ys_col, ArrayType(LongType()), True),
+            StructField("n_frags", IntegerType(), False),
+            StructField("n_pts", IntegerType(), False),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key = None
+        buf: list[tuple] = []
+
+        def emit(key, frags):
+            rows = []
+            for chain, (mx, my, nf) in enumerate(merge_fragments(frags)):
+                rows.append((*key, chain, mx, my, nf, len(mx)))
+            if not rows:
+                return None
+            out = pd.DataFrame(rows, columns=cols)
+            for c in ("chain", "n_frags", "n_pts"):
+                out[c] = out[c].astype("int32")
+            return out
+
+        for pdf in batches:
+            outs = []
+            for vals in zip(*(pdf[c] for c in gcols), pdf[xs_col], pdf[ys_col]):
+                key = tuple(vals[:-2])
+                if key != cur_key:
+                    if cur_key is not None:
+                        o = emit(cur_key, buf)
+                        if o is not None:
+                            outs.append(o)
+                    cur_key, buf = key, []
+                buf.append((list(vals[-2]), list(vals[-1])))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+        if cur_key is not None:
+            o = emit(cur_key, buf)
+            if o is not None:
+                yield o
+
+    n_part = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    return (
+        df.repartition(int(n_part), *gcols)
+        .sortWithinPartitions(*gcols, order_col)
+        .mapInPandas(run, schema)
     )
 
 

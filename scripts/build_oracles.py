@@ -1502,6 +1502,72 @@ def _gen_ck(xs: list, ys: list) -> int:
     return sum((i + 1) * (3 * x + 7 * y) for i, (x, y) in enumerate(zip(xs, ys)))
 
 
+def _merge_twin(frags):
+    """Greedy endpoint chaining twin (deque-based second implementation
+    of the spec in spatial/generalize.py merge_fragments: input order,
+    first-registered live end wins, start-match before end-match,
+    consumed joints deleted, no chain-chain joins)."""
+    from collections import deque
+
+    chains = []  # (deque of (x, y), [frag_count])
+    live = {}    # coord -> (chain_idx, is_tail)
+
+    for xs, ys in frags:
+        pts = [(x, y) for x, y in zip(xs, ys)]
+        where = live.get(pts[0])
+        if where is None:
+            where = live.get(pts[-1])
+            if where is not None:
+                pts.reverse()
+        if where is None:
+            ci = len(chains)
+            chains.append((deque(pts), [1]))
+            if pts[0] not in live:
+                live[pts[0]] = (ci, False)
+            if pts[-1] not in live:
+                live[pts[-1]] = (ci, True)
+            continue
+        ci, is_tail = where
+        dq, cnt = chains[ci]
+        del live[pts[0]]
+        if is_tail:
+            dq.extend(pts[1:])
+        else:
+            dq.extendleft(pts[1:])
+        far = pts[-1]
+        if far not in live:
+            live[far] = (ci, is_tail)
+        cnt[0] += 1
+    return [([p[0] for p in dq], [p[1] for p in dq], cnt[0])
+            for dq, cnt in chains]
+
+
+def q_merge_lines(sf_dir: str) -> pd.DataFrame:
+    ev = load(sf_dir, "events")
+    groups: dict = {}
+    for eid in ev["event_id"].astype(int):
+        m = 8 + eid % 25
+        xs = [i * 100 + _gen_h(eid, i) % 37 for i in range(m)]
+        ys = [(eid % 97) * 64 + ((_gen_h(eid, i) >> 7) % 64) for i in range(m)]
+        c = j = 0
+        while c < m - 1 and j < 16:
+            k = 2 + _gen_h(eid, 100 + j) % 3
+            end = min(c + k, m - 1)
+            order = (_gen_h(eid, 200 + j) << 26) + ((eid >> 8) << 5) + j
+            groups.setdefault(eid % 256, []).append(
+                (order, xs[c:end + 1], ys[c:end + 1])
+            )
+            c, j = end, j + 1
+    rows = []
+    for g in sorted(groups):
+        frags = [(xs, ys) for _, xs, ys in sorted(groups[g])]
+        for chain, (cx, cy, nf) in enumerate(_merge_twin(frags)):
+            rows.append((g, chain, nf, len(cx), _gen_ck(cx, cy)))
+    return pd.DataFrame(
+        rows, columns=["g", "chain", "n_frags", "n_pts", "ck"]
+    ).astype("int64").sort_values(["g", "chain"], ignore_index=True)
+
+
 def q_simplify_lines(sf_dir: str, tol: int = 16) -> pd.DataFrame:
     ev = load(sf_dir, "events")
     rows = []
@@ -1542,6 +1608,7 @@ ORACLES = {
     "q_simplify_lines": q_simplify_lines,
     "q_clip_polygons": q_clip_polygons,
     "q_clip_lines": q_clip_lines,
+    "q_merge_lines": q_merge_lines,
     "q_heavy_hitters_bound": q_heavy_hitters_bound,
     "q_h3_cells": q_h3_cells,
     "q_doc_fingerprint": q_doc_fingerprint,

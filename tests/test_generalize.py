@@ -244,6 +244,66 @@ class TestClipPolyline:
         assert (101, 77) in set(zip(px, py))
 
 
+class TestMergeFragments:
+    def test_forward_chain(self):
+        from cov_tiles_spark.spatial.generalize import merge_fragments
+
+        out = merge_fragments([([0, 1], [0, 0]), ([1, 2], [0, 1]),
+                               ([2, 3], [1, 1])])
+        assert out == [([0, 1, 2, 3], [0, 0, 1, 1], 3)]
+
+    def test_reversed_fragment_attaches(self):
+        from cov_tiles_spark.spatial.generalize import merge_fragments
+
+        # second fragment runs 2->1: its END matches the live tail
+        out = merge_fragments([([0, 1], [0, 0]), ([2, 1], [5, 0])])
+        assert out == [([0, 1, 2], [0, 0, 5], 2)]
+
+    def test_head_extension(self):
+        from cov_tiles_spark.spatial.generalize import merge_fragments
+
+        # fragment starts at the chain HEAD: prepended reversed
+        out = merge_fragments([([5, 6], [0, 0]), ([5, 4], [0, 1])])
+        assert out == [([4, 5, 6], [1, 0, 0], 2)]
+
+    def test_disjoint_fragments_stay_separate(self):
+        from cov_tiles_spark.spatial.generalize import merge_fragments
+
+        out = merge_fragments([([0, 1], [0, 0]), ([10, 11], [0, 0])])
+        assert len(out) == 2
+
+    def test_junction_first_registration_wins(self):
+        from cov_tiles_spark.spatial.generalize import merge_fragments
+
+        # three fragments radiating from (0,0): the first two chain
+        # through the junction, the third can't attach there anymore
+        out = merge_fragments([([0, 1], [0, 0]), ([0, -1], [0, 0]),
+                               ([0, 0], [0, 5])])
+        assert len(out) == 2
+        assert out[0] == ([-1, 0, 1], [0, 0, 0], 2)
+        assert out[1] == ([0, 0], [0, 5], 1)
+
+    def test_split_route_reassembles(self):
+        from cov_tiles_spark.spatial.generalize import merge_fragments
+
+        rng = random.Random(5)
+        xs = list(range(0, 200, 10))
+        ys = [rng.randrange(0, 50) for _ in xs]
+        # cut into fragments sharing boundary vertices, shuffle
+        frags, i = [], 0
+        while i < len(xs) - 1:
+            k = rng.randrange(2, 5)
+            j = min(i + k, len(xs) - 1)
+            frags.append((xs[i:j + 1], ys[i:j + 1]))
+            i = j
+        rng.shuffle(frags)
+        out = merge_fragments(frags)
+        # every chain's fragment/vertex totals conserve the input
+        assert sum(c[2] for c in out) == len(frags)
+        assert sum(len(c[0]) for c in out) == sum(
+            len(f[0]) for f in frags) - sum(c[2] - 1 for c in out)
+
+
 try:
     from hypothesis import given, settings
     from hypothesis import strategies as st
@@ -401,6 +461,64 @@ class TestSparkOperators:
             want = [(p, px, py, len(xs), len(px))
                     for p, (px, py) in enumerate(parts)]
             assert sorted(got.get(lid, [])) == want
+
+    def test_merge_lines_matches_kernel_any_partitioning(self, spark):
+        from cov_tiles_spark.spatial.generalize import (
+            merge_fragments,
+            merge_lines,
+        )
+
+        rng = random.Random(31)
+        rows = []
+        for g in range(5):
+            base_y = g * 1000
+            xs = list(range(0, 300, 10))
+            ys = [base_y + rng.randrange(0, 60) for _ in xs]
+            i = fid = 0
+            while i < len(xs) - 1:
+                j = min(i + rng.randrange(2, 5), len(xs) - 1)
+                rows.append((g, 0, fid, xs[i:j + 1], ys[i:j + 1]))
+                i, fid = j, fid + 1
+        # unique processing order (ties in ord would be nondeterministic)
+        perm = list(range(len(rows)))
+        rng.shuffle(perm)
+        rows = [(g, perm[k], fid, xs, ys)
+                for k, (g, _, fid, xs, ys) in enumerate(rows)]
+        schema = ("g long, ord long, fid long, "
+                  "xs array<long>, ys array<long>")
+
+        def expected():
+            by_g: dict = {}
+            for g, o, fid, xs, ys in sorted(rows, key=lambda r: (r[0], r[1])):
+                by_g.setdefault(g, []).append((xs, ys))
+            want = {}
+            for g, frags in by_g.items():
+                want[g] = merge_fragments(frags)
+            return want
+
+        want = expected()
+        for nparts in (1, 7):
+            df = spark.createDataFrame(rows, schema).repartition(nparts)
+            got: dict = {}
+            for r in merge_lines(df, ["g"], "ord").collect():
+                got.setdefault(r["g"], []).append(
+                    (r["chain"], list(r["xs"]), list(r["ys"]),
+                     r["n_frags"], r["n_pts"])
+                )
+            for g, chains in want.items():
+                exp = [(i, cx, cy, nf, len(cx))
+                       for i, (cx, cy, nf) in enumerate(chains)]
+                assert sorted(got[g]) == exp, (nparts, g)
+
+    def test_merge_lines_single_exchange(self, spark):
+        from cov_tiles_spark.spatial.generalize import merge_lines
+
+        df = spark.createDataFrame(
+            [(0, 1, [0, 1], [0, 0])], "g long, ord long, xs array<long>, ys array<long>"
+        )
+        plan = (merge_lines(df, ["g"], "ord")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange") == 1
 
     def test_clip_lines_plan_is_map_only(self, spark, lines_df):
         from cov_tiles_spark.spatial.generalize import clip_lines
