@@ -520,6 +520,40 @@ class TestSparkOperators:
                 ._jdf.queryExecution().executedPlan().toString())
         assert plan.count("Exchange") == 1
 
+    def test_generalization_chain_composes_one_exchange(self, spark):
+        # the production per-zoom shape: merge fragments -> simplify ->
+        # clip, all in ONE plan with exactly the merge's single exchange
+        from cov_tiles_spark.spatial.generalize import (
+            clip_lines,
+            merge_lines,
+            simplify_lines,
+        )
+
+        rng = random.Random(17)
+        rows = []
+        ordv = 0
+        for g in range(4):
+            xs = list(range(-40, 400, 20))
+            ys = [g * 300 + rng.randrange(0, 40) for _ in xs]
+            i = 0
+            while i < len(xs) - 1:
+                j = min(i + rng.randrange(2, 4), len(xs) - 1)
+                rows.append((g, ordv, xs[i:j + 1], ys[i:j + 1]))
+                i, ordv = j, ordv + 1
+        df = spark.createDataFrame(
+            rows, "g long, ord long, xs array<long>, ys array<long>"
+        )
+        merged = merge_lines(df, ["g"], "ord")
+        slim = simplify_lines(merged.drop("n_frags", "n_pts"), 8)
+        parts = clip_lines(slim.drop("n_in", "n_out"), (0, 0, 256, 256))
+        plan = parts._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        out = parts.collect()
+        assert out, "chain produced no parts"
+        for r in out:
+            assert r["n_pts"] >= 2
+            assert all(0 <= v <= 256 for v in list(r["xs"]) + list(r["ys"]))
+
     def test_clip_lines_plan_is_map_only(self, spark, lines_df):
         from cov_tiles_spark.spatial.generalize import clip_lines
 
