@@ -1,13 +1,28 @@
-"""Geometry generalization for tile pipelines: Douglas-Peucker line
-simplification and Sutherland-Hodgman clipping to tile bounds.
+"""Geometry generalization for tile pipelines: line-fragment merging,
+Douglas-Peucker simplification, Sutherland-Hodgman ring/line clipping,
+and JVM-expression feature metrics with drop-smallest culling.
 
-Every production tiling pipeline simplifies and clips geometry per zoom
-before encoding (the reference's tiles arrive pre-generalized from its
-OpenMapTiles source; these operators supply that upstream step so a
-Spark user can start from raw geometry). Both operators are MAP-ONLY:
-no shuffle, embarrassingly parallel per feature — at 100 TB they scale
-linearly with executors and add zero exchanges to the plan (pinned by
-`tests/test_generalize.py::test_simplify_plan_is_map_only`).
+Every production tiling pipeline generalizes geometry per zoom before
+encoding (the reference's tiles arrive pre-generalized from its
+OpenMapTiles source — measured in BENCH/BASELINE.md; these operators
+supply that upstream step so a Spark user can start from raw geometry).
+The per-zoom chain is merge -> simplify -> clip -> cull:
+
+- `merge_lines` — greedy endpoint chaining of road fragments: ONE
+  group-key exchange + sorted-stream `mapInPandas` (deterministic under
+  any partitioning via the sorted (group, order) processing order).
+- `simplify_lines` / `clip_rings` / `clip_lines` — MAP-ONLY: no
+  shuffle, embarrassingly parallel per feature; at 100 TB they scale
+  linearly with executors and add zero exchanges to the plan (plan
+  pins in `tests/test_generalize.py`).
+- `ring_area2_col` / `bbox_cols` / `ring_centroid_cols` /
+  `drop_small_rings` — pure JVM `F.aggregate` expressions (whole-stage
+  codegen, no Python worker): the tippecanoe-style drop-smallest filter
+  is a free scan-time predicate.
+- `simplify_mvt_layers` — the opt-in pre-encode pass, wired into
+  `pipeline/transcode.py transcode_mvt_directory(simplify_tolerance=)`.
+  `tests/test_generalize.py::test_generalization_chain_composes_one_exchange`
+  pins the whole chain to a single exchange.
 
 Exactness contract (what makes these gate-able cross-engine):
 
