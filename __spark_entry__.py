@@ -2263,6 +2263,49 @@ def q_merge_lines(spark, sf_dir):
     ).orderBy("g", "chain")
 
 
+def q_simplify_rings(spark, sf_dir, tol: int = 12):
+    """Ring (polygon) Douglas-Peucker simplification
+    (spatial/generalize.py simplify_rings — deterministic two-anchor
+    split, map-only). Corpus: noisy 16-gons (radius 24 with hashed
+    0-6 jitter; tol 12 removes ~1/3 of vertices). Output pins the full
+    surviving ring via the position checksum plus the JVM shoelace of
+    the simplified arrays. Oracle: anchor spec replayed over the
+    independent Fraction-exact recursive DP
+    (scripts/build_oracles.py _simplify_ring_twin)."""
+    from cov_tiles_spark.spatial.generalize import (
+        ring_area2_col,
+        simplify_rings,
+    )
+
+    d16x = F.array(*[F.lit(v) for v in
+                     (4, 4, 3, 2, 0, -2, -3, -4, -4, -4, -3, -2, 0, 2, 3, 4)])
+    d16y = F.array(*[F.lit(v) for v in
+                     (0, 2, 3, 4, 4, 4, 3, 2, 0, -2, -3, -4, -4, -4, -3, -2)])
+    cx = F.pmod(F.col("event_id") * F.lit(48271), F.lit(4096))
+    cy = F.pmod(F.col("event_id") * F.lit(69621), F.lit(4096))
+    radius = lambda i: F.lit(24) + F.pmod(_gen_hash(i), F.lit(7))  # noqa: E731
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    rings = ev.select(
+        "event_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (cx + F.element_at(d16x, i + 1) * radius(i)).cast("long"),
+        ).alias("xs"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (cy + F.element_at(d16y, i + 1) * radius(i)).cast("long"),
+        ).alias("ys"),
+    )
+    out = simplify_rings(rings, tolerance=tol)
+    return out.select(
+        "event_id",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_out").cast("long").alias("n_out"),
+        ring_area2_col("xs", "ys").alias("area2"),
+        _gen_ck_col("xs", "ys").alias("ck"),
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2283,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_clip_lines": q_clip_lines,
         "q_ring_metrics": q_ring_metrics,
         "q_merge_lines": q_merge_lines,
+        "q_simplify_rings": q_simplify_rings,
         "q_bm25_topk": q_bm25_topk,
         "q_session_stats": q_session_stats,
         "q_dsir_select": q_dsir_select,
@@ -3091,6 +3135,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT g, chain, n_frags, n_pts, ck
             FROM read_parquet('{_ORACLE_DIR}/q_merge_lines.parquet')
             ORDER BY g, chain
+        """,
+        "q_simplify_rings": f"""
+            SELECT event_id, n_in, n_out, area2, ck
+            FROM read_parquet('{_ORACLE_DIR}/q_simplify_rings.parquet')
+            ORDER BY event_id
         """,
         # LIVE twin: the octagon synthesis is stateless per vertex index,
         # so every vertex is recomputed from (event_id, i) and the

@@ -68,6 +68,8 @@ from pyspark.sql.types import (
 __all__ = [
     "dp_keep_mask",
     "simplify_polyline",
+    "simplify_ring",
+    "simplify_rings",
     "clip_ring",
     "clip_polyline",
     "simplify_lines",
@@ -146,6 +148,42 @@ def simplify_polyline(
         [int(x) for x, m in zip(xs, mask) if m],
         [int(y) for y, m in zip(ys, mask) if m],
     )
+
+
+def simplify_ring(
+    xs: Sequence[int], ys: Sequence[int], tol: int
+) -> tuple[list[int], list[int]]:
+    """Douglas-Peucker over an implicit-closed RING, integer-exact.
+
+    DP needs anchors; a ring has none, so the spec fixes two
+    deterministically: vertex 0, and the FIRST vertex at maximum squared
+    distance from vertex 0. The ring is then split into the open path
+    0..k and the wrap-around path k..n-1..0, each simplified with
+    `dp_keep_mask`, and the kept sets united in original vertex order.
+    Rings that collapse below 3 kept vertices (or whose vertices are all
+    identical) simplify to empty — the caller drops them, the same
+    convention as `clip_ring`. NOTE the shared-boundary topology caveat:
+    adjacent polygons simplified independently can open slivers; this
+    operator is for isolated rings (building footprints, water bodies),
+    not coverage tilings.
+    """
+    n = len(xs)
+    if n < 3:
+        return [], []
+    xs = [int(v) for v in xs]
+    ys = [int(v) for v in ys]
+    d = [(xs[i] - xs[0]) ** 2 + (ys[i] - ys[0]) ** 2 for i in range(n)]
+    k = d.index(max(d))
+    if d[k] == 0:
+        return [], []
+    m1 = dp_keep_mask(xs[: k + 1], ys[: k + 1], tol)
+    m2 = dp_keep_mask(xs[k:] + [xs[0]], ys[k:] + [ys[0]], tol)
+    keep = {i for i, f in enumerate(m1) if f}
+    keep |= {(k + i) % n for i, f in enumerate(m2) if f}
+    idx = sorted(keep)
+    if len(idx) < 3:
+        return [], []
+    return [xs[i] for i in idx], [ys[i] for i in idx]
 
 
 def _rdiv(num: int, den: int) -> int:
@@ -589,6 +627,38 @@ def simplify_lines(
             new_xs, new_ys, n_in, n_out = [], [], [], []
             for xs, ys in zip(pdf[xs_col], pdf[ys_col]):
                 sx, sy = simplify_polyline(list(xs), list(ys), tol)
+                new_xs.append(sx)
+                new_ys.append(sy)
+                n_in.append(len(xs))
+                n_out.append(len(sx))
+            out = pdf[other].copy()
+            out[xs_col] = new_xs
+            out[ys_col] = new_ys
+            out["n_in"] = pd.array(n_in, dtype="int32")
+            out["n_out"] = pd.array(n_out, dtype="int32")
+            yield out[[f.name for f in schema.fields]]
+
+    return df.mapInPandas(run, schema)
+
+
+def simplify_rings(
+    df: DataFrame,
+    tolerance: int,
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+) -> DataFrame:
+    """Ring (polygon) analogue of `simplify_lines` — map-only, replaces
+    the vertex arrays with `simplify_ring` output (empty when the ring
+    collapses), adds `n_in`/`n_out`."""
+    schema = _out_schema(df, xs_col, ys_col)
+    other = [f.name for f in df.schema.fields if f.name not in (xs_col, ys_col)]
+    tol = int(tolerance)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            new_xs, new_ys, n_in, n_out = [], [], [], []
+            for xs, ys in zip(pdf[xs_col], pdf[ys_col]):
+                sx, sy = simplify_ring(list(xs), list(ys), tol)
                 new_xs.append(sx)
                 new_ys.append(sy)
                 n_in.append(len(xs))

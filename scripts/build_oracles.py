@@ -1431,6 +1431,50 @@ def _sh_clip(xs: list, ys: list, x0: int, y0: int, x1: int, y1: int):
     return [p[0] for p in dedup], [p[1] for p in dedup]
 
 
+_GEN_D16 = ((4, 0), (4, 2), (3, 3), (2, 4), (0, 4), (-2, 4), (-3, 3), (-4, 2),
+            (-4, 0), (-4, -2), (-3, -3), (-2, -4), (0, -4), (2, -4), (3, -3),
+            (4, -2))
+
+
+def _simplify_ring_twin(xs, ys, tol):
+    """Ring-DP twin: same anchor spec (vertex 0 + FIRST farthest vertex,
+    two open-path DPs, union of keeps), but over the independent
+    Fraction-exact recursive DP."""
+    n = len(xs)
+    if n < 3:
+        return [], []
+    d = [(xs[i] - xs[0]) ** 2 + (ys[i] - ys[0]) ** 2 for i in range(n)]
+    k = d.index(max(d))
+    if d[k] == 0:
+        return [], []
+    keep = set(_dp_recursive(xs[: k + 1], ys[: k + 1], tol))
+    wrap = _dp_recursive(xs[k:] + [xs[0]], ys[k:] + [ys[0]], tol)
+    keep |= {(k + i) % n for i in wrap}
+    idx = sorted(keep)
+    if len(idx) < 3:
+        return [], []
+    return [xs[i] for i in idx], [ys[i] for i in idx]
+
+
+def q_simplify_rings(sf_dir: str, tol: int = 12) -> pd.DataFrame:
+    ev = load(sf_dir, "events")
+    rows = []
+    for eid in ev["event_id"].astype(int):
+        cx = (eid * 48271) % 4096
+        cy = (eid * 69621) % 4096
+        xs = [cx + _GEN_D16[i][0] * (24 + _gen_h(eid, i) % 7) for i in range(16)]
+        ys = [cy + _GEN_D16[i][1] * (24 + _gen_h(eid, i) % 7) for i in range(16)]
+        sx, sy = _simplify_ring_twin(xs, ys, tol)
+        n = len(sx)
+        area2 = sum(
+            sx[i] * sy[(i + 1) % n] - sx[(i + 1) % n] * sy[i] for i in range(n)
+        ) if n >= 3 else 0
+        rows.append((eid, 16, n, area2, _gen_ck(sx, sy)))
+    return pd.DataFrame(
+        rows, columns=["event_id", "n_in", "n_out", "area2", "ck"]
+    ).astype("int64").sort_values("event_id", ignore_index=True)
+
+
 def _clip_seg_twin(a, b, x0, y0, x1, y1):
     """Segment-to-box twin: same successive half-plane spec as the ring
     clipper, Fraction interpolation with round-half-up."""
@@ -1609,6 +1653,7 @@ ORACLES = {
     "q_clip_polygons": q_clip_polygons,
     "q_clip_lines": q_clip_lines,
     "q_merge_lines": q_merge_lines,
+    "q_simplify_rings": q_simplify_rings,
     "q_heavy_hitters_bound": q_heavy_hitters_bound,
     "q_h3_cells": q_h3_cells,
     "q_doc_fingerprint": q_doc_fingerprint,

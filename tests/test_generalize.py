@@ -244,6 +244,50 @@ class TestClipPolyline:
         assert (101, 77) in set(zip(px, py))
 
 
+class TestSimplifyRing:
+    def test_square_with_edge_noise_collapses_to_corners(self):
+        from cov_tiles_spark.spatial.generalize import simplify_ring
+
+        # square 0..100 with a 1-unit midpoint bump on each edge
+        xs = [0, 50, 100, 100, 100, 50, 0, 0]
+        ys = [0, 1, 0, 50, 100, 99, 100, 51]
+        sx, sy = simplify_ring(xs, ys, 8)
+        assert set(zip(sx, sy)) == {(0, 0), (100, 0), (100, 100), (0, 100)}
+
+    def test_degenerate_all_identical_empty(self):
+        from cov_tiles_spark.spatial.generalize import simplify_ring
+
+        assert simplify_ring([5, 5, 5, 5], [7, 7, 7, 7], 1) == ([], [])
+
+    def test_anchors_always_survive(self):
+        from cov_tiles_spark.spatial.generalize import simplify_ring
+
+        rng = random.Random(23)
+        for _ in range(40):
+            n = rng.randrange(4, 20)
+            xs = [rng.randrange(0, 400) for _ in range(n)]
+            ys = [rng.randrange(0, 400) for _ in range(n)]
+            sx, sy = simplify_ring(xs, ys, 30)
+            if not sx:
+                continue
+            d = [(xs[i] - xs[0]) ** 2 + (ys[i] - ys[0]) ** 2
+                 for i in range(n)]
+            k = d.index(max(d))
+            assert (xs[0], ys[0]) in set(zip(sx, sy))
+            assert (xs[k], ys[k]) in set(zip(sx, sy))
+
+    def test_order_preserved(self):
+        from cov_tiles_spark.spatial.generalize import simplify_ring
+
+        rng = random.Random(9)
+        xs = [rng.randrange(0, 1000) for _ in range(18)]
+        ys = [rng.randrange(0, 1000) for _ in range(18)]
+        sx, sy = simplify_ring(xs, ys, 10)
+        src = list(zip(xs, ys))
+        pos = [src.index(p) for p in zip(sx, sy)]
+        assert pos == sorted(pos)
+
+
 class TestMergeFragments:
     def test_forward_chain(self):
         from cov_tiles_spark.spatial.generalize import merge_fragments
