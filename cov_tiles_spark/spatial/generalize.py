@@ -533,44 +533,72 @@ def merge_lines(
     )
 
 
-def simplify_mvt_layers(layers, tolerance: int):
+def simplify_mvt_layers(layers, tolerance: int, rings: bool = False):
     """Per-zoom generalization pass over decoded MVT layers.
 
     DP-simplifies every LINESTRING / MULTI_LINESTRING part of every
     feature (`covt/mvt.py MvtFeature.geom_type == 2`) with integer
-    tolerance `tolerance`; points and polygons pass through untouched
-    (ring simplification can invalidate shared-boundary topology, so it
-    is deliberately out of scope). `tolerance <= 0` returns the input
-    list unchanged (NOT tol-0 DP, which would still drop exactly
-    collinear interior vertices).
+    tolerance `tolerance`; points pass through untouched. Polygons are
+    untouched by DEFAULT — ring simplification can invalidate
+    shared-boundary topology — but ``rings=True`` opts polygon rings
+    into `simplify_ring` (MVT closed-ring convention preserved; rings
+    that collapse below 3 vertices are dropped, and a feature whose
+    FIRST ring — the MVT outer — collapses is dropped entirely).
+    `tolerance <= 0` returns the input list unchanged (NOT tol-0 DP,
+    which would still drop exactly collinear interior vertices).
 
     Returns ``(new_layers, stats)`` where stats is a dict with
     `vertices_in` / `vertices_out` counted over the simplified parts
-    only. The pass sits between `decode_mvt` and `mvt_to_genb` /
-    `mvt_to_covt` in a transcode pipeline; the codec itself never
-    changes bytes (the golden-fixture gates stay byte-identical unless
-    the caller opts in).
+    only, plus `features_dropped`. The pass sits between `decode_mvt`
+    and `mvt_to_genb` / `mvt_to_covt` in a transcode pipeline; the
+    codec itself never changes bytes (the golden-fixture gates stay
+    byte-identical unless the caller opts in).
     """
     from cov_tiles_spark.covt.mvt import MvtFeature, MvtLayer
 
     if tolerance <= 0:
-        return layers, {"vertices_in": 0, "vertices_out": 0}
-    v_in = v_out = 0
+        return layers, {"vertices_in": 0, "vertices_out": 0,
+                        "features_dropped": 0}
+    v_in = v_out = dropped = 0
     out_layers = []
     for layer in layers:
         feats = []
         for f in layer.features:
-            if f.geom_type != 2:
+            if f.geom_type == 1 or (f.geom_type == 3 and not rings):
                 feats.append(f)
                 continue
             parts = []
-            for p in f.geometry:
-                xs = [v[0] for v in p]
-                ys = [v[1] for v in p]
-                sx, sy = simplify_polyline(xs, ys, tolerance)
-                v_in += len(xs)
-                v_out += len(sx)
-                parts.append(list(zip(sx, sy)))
+            outer_collapsed = False
+            for pi, p in enumerate(f.geometry):
+                if f.geom_type == 3:
+                    # rings arrive closed (first vertex repeated): open,
+                    # simplify, re-close
+                    closed = len(p) > 1 and p[0] == p[-1]
+                    ring = p[:-1] if closed else p
+                    xs = [v[0] for v in ring]
+                    ys = [v[1] for v in ring]
+                    sx, sy = simplify_ring(xs, ys, tolerance)
+                    v_in += len(xs)
+                    v_out += len(sx)
+                    if not sx:
+                        if pi == 0:
+                            outer_collapsed = True
+                            break
+                        continue
+                    pts = list(zip(sx, sy))
+                    if closed:
+                        pts.append(pts[0])
+                    parts.append(pts)
+                else:
+                    xs = [v[0] for v in p]
+                    ys = [v[1] for v in p]
+                    sx, sy = simplify_polyline(xs, ys, tolerance)
+                    v_in += len(xs)
+                    v_out += len(sx)
+                    parts.append(list(zip(sx, sy)))
+            if outer_collapsed or not parts:
+                dropped += 1
+                continue
             feats.append(
                 MvtFeature(
                     id=f.id,
@@ -587,7 +615,8 @@ def simplify_mvt_layers(layers, tolerance: int):
                 features=feats,
             )
         )
-    return out_layers, {"vertices_in": v_in, "vertices_out": v_out}
+    return out_layers, {"vertices_in": v_in, "vertices_out": v_out,
+                        "features_dropped": dropped}
 
 
 # ------------------------------------------------------- Spark operators

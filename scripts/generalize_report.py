@@ -27,9 +27,11 @@ GOLDEN = sorted(
 
 
 def main() -> None:
-    tols = [int(t) for t in sys.argv[1:]] or [2, 4, 8]
+    rings = "--rings" in sys.argv
+    tols = [int(t) for t in sys.argv[1:] if t.isdigit()] or [2, 4, 8]
+    suffix = " (rings)" if rings else ""
     print(f"| tile | base gen-B B | " +
-          " | ".join(f"tol={t} verts / bytes" for t in tols) + " |")
+          " | ".join(f"tol={t}{suffix} verts / bytes" for t in tols) + " |")
     print("|---|---|" + "---|" * len(tols))
     for path in GOLDEN:
         name = "/".join(path.split(os.sep)[-2:]).replace(".mvt", "")
@@ -37,12 +39,14 @@ def main() -> None:
         base = len(mvt_to_genb(rebytes(layers))[0])
         cells = []
         for tol in tols:
-            slim, stats = simplify_mvt_layers(layers, tol)
+            slim, stats = simplify_mvt_layers(layers, tol, rings=rings)
             vin, vout = stats["vertices_in"], stats["vertices_out"]
             sz = len(mvt_to_genb(rebytes(slim))[0])
             vred = 100.0 * (1 - vout / vin) if vin else 0.0
             bred = 100.0 * (1 - sz / base)
-            cells.append(f"-{vred:.1f}% / -{bred:.1f}%")
+            drop = stats["features_dropped"]
+            cells.append(f"-{vred:.1f}% / -{bred:.1f}%"
+                         + (f" ({drop} dropped)" if drop else ""))
         print(f"| {name} | {base} | " + " | ".join(cells) + " |")
 
 
