@@ -509,7 +509,13 @@ def q_knn(spark, sf_dir):
     (any point outside the box has dist2 > r^2). Unsatisfied queries
     fall back to the unfiltered window — exactness never depends on r.
     """
-    k, r = 5, 3.0
+    # r routes queries between the two exact branches, never changes the
+    # output (the docstring invariant). r=3 left 26/50 queries on the
+    # full-scan fallback at every sf (the event lattice occupies only
+    # 1/400 of the 0.1-degree grid positions, so many boxes hold < k
+    # points); r=10 satisfies 50/50 at sf0.01/0.1/1 (measured) and the
+    # near-branch pair count stays tiny (316k at sf1).
+    k, r = 5, 10.0
     # widen the scan before the broadcast cross join: the events parquet
     # is 1-3 files, so without this the 100k x 50 pair evaluation runs on
     # 1-3 tasks (measured 3.9-6.1s; 1.4-2.0s repartitioned to core count)
@@ -531,7 +537,35 @@ def q_knn(spark, sf_dir):
             .filter(F.col("rank") <= k)
         )
 
-    pairs = pts.join(F.broadcast(q))
+    # Cell-bucketed candidate generation for the radius branch: the old
+    # broadcast *nested-loop* join evaluated |points| x |queries| pairs
+    # (50M at sf1, 10.5s) just to keep the ~0.06% inside the L-inf box.
+    # Bucketing points on an r-sized grid and exploding each query to the
+    # (at most 3x3) grid cells its box overlaps turns this into a
+    # BroadcastHashJoin: one hash probe per point, only near-pairs
+    # materialize (guide §3.1). Exactness: lon in [q-r, q+r] implies
+    # floor(lon/r) in [floor((q-r)/r), floor((q+r)/r)] (floor is
+    # monotone), so every box match survives the cell equi-join, and the
+    # unchanged box filter below keeps exactly the same pair set.
+    cell = lambda c: F.floor(c / F.lit(r)).cast("int")
+    ptsc = pts.withColumn("_cx", cell(F.col("lon"))).withColumn(
+        "_cy", cell(F.col("lat"))
+    )
+    qc = (
+        q.withColumn(
+            "_cx",
+            F.explode(
+                F.sequence(cell(F.col("q_lon") - r), cell(F.col("q_lon") + r))
+            ),
+        )
+        .withColumn(
+            "_cy",
+            F.explode(
+                F.sequence(cell(F.col("q_lat") - r), cell(F.col("q_lat") + r))
+            ),
+        )
+    )
+    pairs = ptsc.join(F.broadcast(qc), ["_cx", "_cy"]).drop("_cx", "_cy")
     near = topk(
         pairs.filter(
             (F.abs(F.col("lon") - F.col("q_lon")) <= r)
@@ -547,21 +581,19 @@ def q_knn(spark, sf_dir):
     out_cols = ["query_id", "rank", F.col("event_id").alias("point_id")]
     good = near.join(satisfied, "query_id", "left_semi").select(*out_cols)
     rest_q = q.join(satisfied, "query_id", "left_anti")
-    # fallback reuses the module's per-partition top-k reduction: a bare
-    # Window.partitionBy("query_id") here would funnel |points| rows per
-    # unsatisfied query into one task (the last un-reduced global window
-    # flagged in round 2); after _local_topk the window fans in at most
-    # partitions x k rows per query. Same total order (dist, id) => exact.
-    from cov_tiles_spark.spatial.knn import _local_topk
-
+    # fallback top-k stays in the JVM: Spark >= 3.5 inserts a Partial
+    # WindowGroupLimit (per-partition sort + top-k) BEFORE the exchange
+    # for row_number()+rank filter, so at most partitions x queries x k
+    # rows shuffle — the same monoid reduction the old Python
+    # _local_topk mapInPandas did, minus the Arrow boundary over
+    # |points| x |rest_q| rows (guide §4.1: built-ins over UDFs).
     fb_pairs = (
         pts.join(F.broadcast(rest_q))
         .withColumn("dist_m", d2)
         .select("query_id", F.col("event_id").alias("point_id"), "dist_m")
     )
     fallback = (
-        _local_topk(fb_pairs, k_max=k, has_qk=False)
-        .withColumn(
+        fb_pairs.withColumn(
             "rank",
             F.row_number().over(
                 Window.partitionBy("query_id").orderBy("dist_m", "point_id")

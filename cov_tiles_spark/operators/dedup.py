@@ -153,7 +153,13 @@ def minhash_near_dups(
     else:
         rows_per_band = num_hashes // bands
     mh = _minhash_udf(num_hashes, shingle)
-    sigs = df.select(
+    # pin the signature stage's parallelism (CLAUDE.md): the input is
+    # typically 1-2 scan partitions (single parquet row group), which
+    # serializes the Python-CPU-bound MinHash UDF onto 1-2 workers
+    # (measured 10.9s -> 1.5s at sf1 on local[32]). Keyed repartition:
+    # deterministic under task retry, no sort-before-repartition pass.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sigs = df.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("id"), mh(F.col(text_col)).alias("sig")
     ).cache()
 
@@ -247,7 +253,10 @@ def simhash_near_dups(
     :func:`hamming_near_dups` — see there for the banded
     distinct-signature join semantics.
     """
-    sigs = df.select(
+    # same parallelism pin as minhash_near_dups: the SimHash UDF is
+    # Python-CPU-bound and must not run on 1-2 scan partitions
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sigs = df.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sig")
     )
     return hamming_near_dups(
