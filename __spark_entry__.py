@@ -640,6 +640,40 @@ def _events_images(spark, sf_dir):
     )
 
 
+def _events_images_fast(spark, sf_dir):
+    """Narrow twin of :func:`_events_images` for the tile-encode gates.
+
+    Two results-identical optimizations (guide §2.3/§2.5):
+    - ``image_id`` stays the int64 ``event_id``: the encode kernel
+      parses the ``img-%012d`` string right back to int64
+      (``_extract_arrays`` str.slice(4).astype), so the string build,
+      its ~20 shuffle bytes/row, and the 3M-object Arrow transfer were
+      pure overhead. Decoded ``feature_id`` is the same int64 either
+      way, and the (z, x, y, image_id) encode sort orders int64 ids
+      exactly like their zero-padded strings.
+    - the 2-column events scan (a single parquet row group = one task)
+      is repartitioned by key up front, so the explode/assignment map
+      side of the tile exchange runs at core parallelism instead of
+      single-threaded.
+
+    Only valid where the per-tile cap cannot bind (the gate cap): with a
+    binding cap the xxhash64 sample key would differ between the string
+    and int64 ids and select a different subset.
+    """
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    e = e.repartition(spark.sparkContext.defaultParallelism, "event_id")
+    return e.select(
+        F.col("event_id").alias("image_id"),
+        F.col("event_type").alias("caption"),
+        F.lit("raw").alias("fmt"),
+        F.lit(32).alias("w"),
+        F.lit(32).alias("h"),
+        (F.col("event_id") * 31 + 7).alias("phash"),
+        _lon(F.col("event_id")).alias("lon"),
+        _lat(F.col("event_id")).alias("lat"),
+    )
+
+
 # Non-binding per-tile cap for the tile GATE queries: the gate contract
 # is the provably-exact setting (CLAUDE.md: approximate/capped operators
 # must scale their bounds with |corpus| — the sf1 run caught the 20k
@@ -659,7 +693,7 @@ def q_tile_encode(spark, sf_dir):
     payload bytes."""
     from cov_tiles_spark.pipeline.materialize import decode_tiles, materialize_tiles
 
-    imgs = _events_images(spark, sf_dir)
+    imgs = _events_images_fast(spark, sf_dir)
     tiles = materialize_tiles(
         imgs, [2, 4, 6], with_mvt_baseline=False,
         max_features_per_tile=_GATE_CAP,
@@ -767,7 +801,7 @@ def q_tile_export_mvt(spark, sf_dir):
         materialize_tiles,
     )
 
-    imgs = _events_images(spark, sf_dir)
+    imgs = _events_images_fast(spark, sf_dir)
     tiles = materialize_tiles(
         imgs, [2, 4, 6], with_mvt_baseline=False,
         max_features_per_tile=_GATE_CAP,
@@ -782,7 +816,7 @@ def q_tile_encode_genb(spark, sf_dir):
     table must be identical regardless of wire format."""
     from cov_tiles_spark.pipeline.materialize import decode_tiles, materialize_tiles
 
-    imgs = _events_images(spark, sf_dir)
+    imgs = _events_images_fast(spark, sf_dir)
     tiles = materialize_tiles(
         imgs, [2, 4, 6], with_mvt_baseline=False, wire_format="genb",
         max_features_per_tile=_GATE_CAP,

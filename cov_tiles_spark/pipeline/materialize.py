@@ -489,13 +489,27 @@ def encode_assigned(
     local-then-global top-k composes; bounds a hot tile's shuffle volume
     at O(input_partitions x cap) rows instead of its full pre-cap count.
     """
-    if sample_key is None:
-        sample_key = F.xxhash64("image_id", F.col("z"))
     sc = assigned.sparkSession.sparkContext
     if num_parts is None:
         num_parts = max(sc.defaultParallelism * 8, 16)
+    if max_features_per_tile >= (1 << 40):
+        # The cap can never bind (no real tile holds 2^40 features), so
+        # the sample-key selection order is irrelevant to the output:
+        # the encode kernel argsorts each tile by id before encoding,
+        # making payload bytes a function of the row SET only. Skip the
+        # _sk column entirely — one less xxhash64 over every row, 8
+        # fewer bytes per shuffled row, one less sort key (guide §2.3).
+        part = assigned.repartition(num_parts, "z", "x", "y").sortWithinPartitions(
+            "z", "x", "y", "image_id"
+        )
+        return part.select(*_STREAM_COLS).mapInPandas(
+            _make_encode_stream(with_mvt_baseline, max_features_per_tile, wire_format),
+            schema=PAYLOAD_SCHEMA,
+        )
+    if sample_key is None:
+        sample_key = F.xxhash64("image_id", F.col("z"))
     staged = assigned.withColumn("_sk", sample_key)
-    if pre_cap and max_features_per_tile < (1 << 40):
+    if pre_cap:
         cols = [*_STREAM_COLS, "_sk"]
         staged = staged.select(*cols)
         schema = ", ".join(

@@ -114,18 +114,24 @@ def test_encode_precap_precedes_exchange(spark):
 
 
 def test_qknn_fallback_window_is_locally_reduced(spark):
-    """The q_knn entry's fallback must run _local_topk (a mapInPandas
-    per-partition reduction) BEFORE its per-query window — the round-2
-    verdict's last un-reduced broadcast-cartesian window. The plan
-    string must show the Python reduction below the Window operator."""
+    """The q_knn entry's windows (near branch AND broadcast-cartesian
+    fallback) must be locally reduced BEFORE the per-query exchange —
+    the round-2 verdict's un-reduced window funneled |points| rows per
+    query into one task. Round 6 moved the reduction from a Python
+    _local_topk mapInPandas to the JVM WindowGroupLimit rewrite
+    (row_number + rank filter => per-partition Partial top-k), so the
+    plan must carry a Partial WindowGroupLimit per Window and no Python
+    node at all."""
     import __spark_entry__ as E
 
     df = E.q_knn(spark, SF)
     plan = _plan(df)
-    # the fallback branch (second child of the union) carries a window;
-    # a MapInPandas/ArrowEvalPython node must feed it
     assert "Window" in plan
-    assert "MapInPandas" in plan, plan[:2000]
+    # one Partial (map-side) + one Final WindowGroupLimit per window
+    assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
+    assert "Partial" in plan, plan[:2000]
+    # the whole query is JVM-side now
+    assert "MapInPandas" not in plan and "ArrowEval" not in plan, plan[:2000]
 
 
 def test_c4_line_filters_precede_dedup_exchange(spark):
