@@ -119,8 +119,13 @@ def q_local_supplier_volume(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
+    # orders is too big to broadcast cheaply (the planner was collecting
+    # a 1.5M-row hash relation on the driver every run at sf1) but small
+    # enough per partition for a shuffled hash join — force the build
+    # side explicitly instead of sort-merge (guide §3.1); the dims below
+    # stay broadcast.
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), (c.c_nationkey == n.n_nationkey) & (s.s_nationkey == n.n_nationkey))

@@ -27,6 +27,18 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Scan-split size (guide §6): the testdata tables are single
+        # parquet files with ~21 MB row groups, so the 128 MB default
+        # reads a 126 MB lineitem on ONE task (measured: the whole
+        # TPC-H Q1/Q5 scan side single-threaded at sf1). 16 MB splits
+        # land one row group per task. Cluster deployments with many
+        # large files should override toward 128m-1g via
+        # SPARK_GRAFT_MAX_PARTITION_BYTES (big sequential scans want
+        # fewer, larger map tasks feeding any shuffle).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
