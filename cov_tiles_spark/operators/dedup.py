@@ -448,44 +448,158 @@ def embedding_near_dups(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_block_size: int | None = None,
+    vocab_limit: int = 4096,
 ) -> DataFrame:
     """Exact n-gram Jaccard over hash-blocked candidates.
 
     Blocking key = md5 of the first n-gram (cheap, deterministic) — an
     intentionally simple blocker; MinHash above is the scale path.
+
+    Round-6 rewrite (same output, bit-for-bit): the naive within-block
+    self-join compared every DOC pair with a per-pair string
+    ``array_intersect`` — O(B^2) in block size, 4,925 s at sf1. Now:
+
+    1. **Distinct gram-set classes**: docs are grouped by (block, grams)
+       so each distinct gram set is verified once; identical-set pairs
+       (jaccard exactly 1.0, the planted-copy mass) are expanded without
+       any set math. Quadratic cost drops from docs^2 to classes^2.
+    2. **Exact size prefilter**: jaccard >= t implies
+       min(|A|,|B|) >= t * max(|A|,|B|) (|A ∩ B| <= min and
+       >= t*|A ∪ B| >= t*max), evaluated inside the join condition (a
+       1e-9 slack keeps the float comparison a strict superset).
+    3. **Bitset verify**: when the corpus' distinct-gram vocabulary fits
+       ``vocab_limit``, each class's gram set becomes a fixed-width
+       bitmask over the global gram dictionary and |A ∩ B| is a codegen
+       sum of ``bit_count(wa & wb)`` words — no hashing, no collisions,
+       ~100x cheaper than per-pair array_intersect. Larger vocabularies
+       fall back to class-level ``array_intersect`` (still wins via 1+2).
+
+    ``max_block_size`` (production knob, default off — it CHANGES the
+    result): blocks with more docs than the cap are dropped with a
+    logged count, the `_cap_buckets` discipline — one planet-hot prefix
+    cannot go quadratic; identical members are still caught by
+    exact_dedup.
     """
-    df2 = df.select(
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    base = df.select(
         F.col(id_col).alias("id"),
         F.expr(
             f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
             f" i -> substring({text_col}, i, {n})))"
         ).alias("grams"),
         F.md5(F.substring(text_col, 1, n)).alias("block"),
-    ).repartition(
-        # pin the join's parallelism: the within-block pair evaluation is
-        # CPU-bound (array_intersect per pair) on tiny input bytes, so
-        # AQE's byte-based coalescing would serialize it onto 1-2 tasks
-        # (CLAUDE.md; measured 84s -> 27s at sf0.1 on local[16])
-        df.sparkSession.sparkContext.defaultParallelism, "block"
     )
-    a, b = df2.alias("a"), df2.alias("b")
-    inter = F.size(F.array_intersect("a_grams", "b_grams"))
-    cand = (
-        a.join(b, "block")
-        .filter(F.col("a.id") < F.col("b.id"))
+    if max_block_size is not None:
+        base = _cap_buckets(base, ["block"], max_block_size, "ngram_jaccard")
+    # pin the class build + verify join parallelism (CLAUDE.md): the
+    # per-pair evaluation is CPU-bound on tiny bytes, AQE's byte-based
+    # coalescing would serialize it
+    classes = (
+        base.repartition(par, "block")
+        .groupBy("block", "grams")
+        .agg(F.collect_list("id").alias("ids"))
+        .withColumn("min_id", F.array_min("ids"))
+        .withColumn("sz", F.size("grams"))
+        .cache()
+    )
+    thr = float(threshold)
+
+    # identical gram sets: every doc pair inside a class has jaccard
+    # exactly 1.0 (what array_intersect of equal sets computed before)
+    within = (
+        classes.filter(F.size("ids") > 1)
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.grams").alias("a_grams"),
-            F.col("b.grams").alias("b_grams"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), b -> "
+                    "struct(least(a, b) as id_a, greatest(a, b) as id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard"))
+        .filter(F.lit(1.0) >= F.lit(thr))
+    )
+
+    # global gram dictionary (bounded collect: vocab_limit + 1 rows max)
+    vocab = [
+        r[0]
+        for r in classes.select(F.explode("grams").alias("g"))
+        .distinct()
+        .limit(vocab_limit + 1)
+        .collect()
+    ]
+    if len(vocab) <= vocab_limit:
+        vmap = {g: i for i, g in enumerate(sorted(vocab))}
+        n_words = (len(vmap) + 63) // 64
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def to_mask(grams_s: pd.Series) -> pd.Series:
+            lengths = np.fromiter(
+                (len(x) for x in grams_s), dtype=np.int64, count=len(grams_s)
+            )
+            flat = [g for lst in grams_s for g in lst]
+            codes = (
+                pd.Series(flat, dtype=object).map(vmap).to_numpy(np.uint64)
+            )
+            rows = np.repeat(np.arange(len(grams_s)), lengths)
+            masks = np.zeros((len(grams_s), n_words), dtype=np.uint64)
+            np.bitwise_or.at(
+                masks,
+                (rows, (codes >> np.uint64(6)).astype(np.int64)),
+                np.uint64(1) << (codes & np.uint64(63)),
+            )
+            return pd.Series(list(masks.view(np.int64)))
+
+        rep = classes.withColumn("mask", to_mask("grams")).select(
+            "block",
+            "min_id",
+            "sz",
+            "ids",
+            *[F.col("mask")[i].alias(f"w{i}") for i in range(n_words)],
+        )
+        a, b = rep.alias("a"), rep.alias("b")
+        inter = sum(
+            F.bit_count(
+                F.col(f"a.w{i}").bitwiseAND(F.col(f"b.w{i}"))
+            ).cast("long")
+            for i in range(n_words)
+        )
+    else:
+        rep = classes.select("block", "min_id", "sz", "ids", "grams")
+        a, b = rep.alias("a"), rep.alias("b")
+        inter = F.size(F.array_intersect("a.grams", "b.grams")).cast("long")
+
+    cond = (
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.min_id") < F.col("b.min_id"))
+        & (
+            F.least("a.sz", "b.sz")
+            >= F.lit(thr) * F.greatest("a.sz", "b.sz") - F.lit(1e-9)
         )
     )
-    jac = inter / (
-        F.size("a_grams") + F.size("b_grams") - inter
-    ).cast("double")
-    return (
-        cand.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    jac = inter / (F.col("a.sz") + F.col("b.sz") - inter).cast("double")
+    cross = (
+        a.join(b, cond)
+        .select(
+            F.col("a.ids").alias("ids_a"),
+            F.col("b.ids").alias("ids_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= thr)
+        .select(F.explode("ids_a").alias("id_x"), "ids_b", "jaccard")
+        .select("id_x", F.explode("ids_b").alias("id_y"), "jaccard")
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            "jaccard",
+        )
     )
+    return within.unionAll(cross)
