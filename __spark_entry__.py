@@ -1612,7 +1612,9 @@ def q_pq_rerank(spark, sf_dir):
     unclustered random vectors, where bounded-candidate recall is a
     data property, not an operator property); partial-candidate recall
     is pytest-covered on clustered corpora."""
-    from cov_tiles_spark.operators.pq import pq_encode, pq_topk, pq_train
+    from cov_tiles_spark.operators.pq import (
+        pq_candidate_ids, pq_encode, pq_train,
+    )
     from cov_tiles_spark.operators.similarity import _dot_expr
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1624,7 +1626,13 @@ def q_pq_rerank(spark, sf_dir):
     # sf0.1) — the gate's contract is the provably-exact all-candidate
     # setting at ANY sf; partial-shortlist recall is a data property,
     # pytest-covered on clustered corpora
-    cand = pq_topk(
+    # candidate IDs only (pq_candidate_ids): the old pq_topk call ran a
+    # single-partition rank window over the FULL |corpus| candidate list
+    # and then threw the ranks away ("Moving all data to a single
+    # partition" in the gate run — round-5 verdict item 3); the ID set
+    # comes from the same (score desc, id) TakeOrdered, so the semi-join
+    # input — and the output — is unchanged.
+    cand = pq_candidate_ids(
         pq_encode(emb, "embedding", cb), "vec_id", qvec, emb.count(), cb
     ).select(F.col("id").alias("vec_id"))
     q = F.array(*[F.lit(v) for v in qvec])
@@ -1637,9 +1645,14 @@ def q_pq_rerank(spark, sf_dir):
         .orderBy(F.col("_d").desc(), "vec_id")
         .limit(10)
     )
+    # rank over the 10 surviving rows; constant partition key = same
+    # single-partition execution the post-limit shape implies, without
+    # the unpartitioned-window warning
     return rer.withColumn(
         "rank",
-        F.row_number().over(Window.orderBy(F.col("_d").desc(), "vec_id")),
+        F.row_number().over(
+            Window.partitionBy(F.lit(0)).orderBy(F.col("_d").desc(), "vec_id")
+        ),
     ).select("rank", "vec_id")
 
 

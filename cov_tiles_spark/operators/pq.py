@@ -120,6 +120,38 @@ def pq_topk(
     by codebook resolution); recall under clustering is pytest-covered,
     and the driver gate pins exact score reproducibility against an
     independent scalar implementation."""
+    scored = _pq_scored(encoded, id_col, query, codebooks)
+    order_key = (
+        F.round(F.col("score"), order_round) if order_round is not None
+        else F.col("score")
+    )
+    return (
+        scored.withColumn("_ord", order_key)
+        .orderBy(F.col("_ord").desc(), F.col("id"))
+        .limit(k)
+        .withColumn(
+            "rank",
+            # rank over the already-limited k rows. The constant
+            # partition key is semantically identical to an empty spec
+            # (one partition holds all k rows — inherent after a global
+            # limit) but keeps Spark from emitting its "No Partition
+            # Defined ... single partition" warning for what is the
+            # designed post-limit shape.
+            F.row_number().over(
+                Window.partitionBy(F.lit(0)).orderBy(
+                    F.col("_ord").desc(), F.col("id")
+                )
+            ),
+        )
+        .select("rank", "id", F.col("score").alias("adc_score"))
+    )
+
+
+def _pq_scored(
+    encoded: DataFrame, id_col: str, query: list[float], codebooks: np.ndarray
+) -> DataFrame:
+    """(id, score) via ADC table lookups — shared by pq_topk and
+    pq_candidate_ids."""
     cb = np.asarray(codebooks, dtype=np.float64)
     m, _, sub = cb.shape
     qv = np.asarray(query, dtype=np.float64)
@@ -137,20 +169,27 @@ def pq_topk(
             score += lut[j][c[:, j]]
         return pd.Series(score)
 
-    scored = encoded.select(
+    return encoded.select(
         F.col(id_col).alias("id"), adc(F.col("pq_code")).alias("score")
     )
-    order_key = (
-        F.round(F.col("score"), order_round) if order_round is not None
-        else F.col("score")
-    )
+
+
+def pq_candidate_ids(
+    encoded: DataFrame,
+    id_col: str,
+    query: list[float],
+    k: int,
+    codebooks: np.ndarray,
+) -> DataFrame:
+    """ADC top-k candidate ID SET (no ranks): the shortlist feeding an
+    exact re-rank only needs membership, so this skips
+    :func:`pq_topk`'s post-limit rank window entirely — the same scored
+    TakeOrdered, one less single-partition pass. With ``k`` >= the
+    corpus size (the provably-exact gate setting) the limit is the
+    whole scored set and the saved pass is a full-corpus one."""
     return (
-        scored.withColumn("_ord", order_key)
-        .orderBy(F.col("_ord").desc(), F.col("id"))
+        _pq_scored(encoded, id_col, query, codebooks)
+        .orderBy(F.col("score").desc(), F.col("id"))
         .limit(k)
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.col("_ord").desc(), F.col("id"))),
-        )
-        .select("rank", "id", F.col("score").alias("adc_score"))
+        .select("id")
     )
