@@ -72,21 +72,48 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _shingle_hashes(texts: pd.Series, shingle: int) -> list[np.ndarray]:
-    """Per-doc array of distinct shingle hashes (vectorized rolling hash)."""
-    out = []
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (vectorized per-group arange)."""
+    return np.arange(int(counts.sum())) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+
+
+def _shingle_hashes(texts: pd.Series, shingle: int) -> tuple[np.ndarray, np.ndarray]:
+    """(all_hashes, per_doc_counts): shingle hashes of every doc, whole
+    batch vectorized — ONE rolling-hash pass over the concatenated
+    bytes, windows crossing doc boundaries masked out by a gather.
+
+    The old form paid ~8 small numpy calls per doc (the CLAUDE.md
+    numpy-fixed-cost gotcha) plus a per-doc ``np.unique`` that MinHash
+    never needed: min over a multiset equals min over its set, so
+    duplicate shingles cannot change any signature component. Docs
+    shorter than ``shingle`` keep their single 0 hash."""
     base = np.uint64(1099511628211)
-    for t in texts:
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-        if len(b) < shingle:
-            out.append(np.zeros(1, dtype=np.uint64))
-            continue
+    enc = [t.encode("utf-8") for t in texts]
+    lengths = np.fromiter((len(e) for e in enc), np.int64, count=len(enc))
+    B = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    win = B.shape[0] - shingle + 1
+    if win > 0:
         with np.errstate(over="ignore"):
-            h = np.zeros(len(b) - shingle + 1, dtype=np.uint64)
+            h_all = np.zeros(win, dtype=np.uint64)
             for j in range(shingle):
-                h = h * base + b[j : len(b) - shingle + 1 + j].astype(np.uint64)
-        out.append(np.unique(h))
-    return out
+                h_all = h_all * base + B[j : win + j].astype(np.uint64)
+    else:
+        h_all = np.zeros(0, dtype=np.uint64)
+    counts = np.maximum(lengths - shingle + 1, 0)
+    out_counts = np.where(lengths < shingle, 1, counts)
+    all_h = np.zeros(int(out_counts.sum()), dtype=np.uint64)  # 0 = short-doc slot
+    out_starts = np.cumsum(out_counts) - out_counts
+    doc_starts = np.cumsum(lengths) - lengths
+    valid = counts > 0
+    if valid.any():
+        reps = counts[valid]
+        r = _ranges(reps)
+        all_h[np.repeat(out_starts[valid], reps) + r] = h_all[
+            np.repeat(doc_starts[valid], reps) + r
+        ]
+    return all_h, out_counts
 
 
 def _minhash_udf(num_hashes: int, shingle: int, seed: int = 42):
@@ -96,15 +123,14 @@ def _minhash_udf(num_hashes: int, shingle: int, seed: int = 42):
 
     @F.pandas_udf(ArrayType(LongType()))
     def minhash(texts: pd.Series) -> pd.Series:
-        # whole-batch vectorization: concatenate all docs' shingle hashes,
-        # apply each permutation once, segment-min via minimum.reduceat
-        per_doc = _shingle_hashes(texts, shingle)
-        lengths = np.array([len(h) for h in per_doc], dtype=np.int64)
-        if len(per_doc) == 0:
+        # whole-batch vectorization: one rolling-hash pass over the
+        # concatenated docs, apply each permutation once, segment-min
+        # via minimum.reduceat
+        if len(texts) == 0:
             return pd.Series([], dtype=object)
-        all_h = np.concatenate(per_doc)
+        all_h, lengths = _shingle_hashes(texts, shingle)
         starts = np.cumsum(lengths) - lengths
-        sig = np.empty((len(per_doc), num_hashes), dtype=np.int64)
+        sig = np.empty((len(lengths), num_hashes), dtype=np.int64)
         with np.errstate(over="ignore"):
             for p in range(num_hashes):
                 vals = (a[p] * all_h + b[p]) % np.uint64(_MERSENNE)

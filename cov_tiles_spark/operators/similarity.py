@@ -317,18 +317,127 @@ def _self_retrieval_topk(
         queries = queries.orderBy(
             sample_hash(F.col("query_id"), seed), F.col("query_id")
         ).limit(max_queries)
-    cos = _dot_expr(F.col("vec"), F.col("q_vec")) / (
-        _norm_expr(F.col("vec")) * _norm_expr(F.col("q_vec"))
+    # ---- round-6 rewrite: numpy decision pass, JVM decision ranking ----
+    # The old shape materialized the full |corpus| x |queries| broadcast
+    # nested-loop join (every pair row carrying BOTH 64-float vectors),
+    # computed the fold dot per pair, and sorted all 40M pair rows for
+    # the window — 150-330s at sf1. This keeps the exact same result:
+    #
+    # 1. the query table (rate-sampled, max_queries-capped) is collected
+    #    once (bounded: <= max_queries rows) into a numpy matrix;
+    # 2. a mapInPandas pass over the corpus computes all cosines as a
+    #    batch x queries matrix. BIT-IDENTICAL to the JVM expressions:
+    #    the dot/norm loops are vectorized across PAIRS but sequential
+    #    over the dimension, i.e. acc = acc + v[j]*q[j] in IEEE double —
+    #    exactly the _dot_expr/_norm_expr left fold (0.0 + p == p), and
+    #    cos = dot / (n * qn) with the same operand order;
+    # 3. per batch it keeps, per query, every row whose RAW cosine is
+    #    within 1.01e-6 of the k-th best raw cosine — a PROVABLE
+    #    superset of the rounded-key top-k: |x - round6(x)| <= 5e-7, so
+    #    any row more than 1e-6 below the k-th raw value has a strictly
+    #    smaller round6 key than k better rows and can never rank <= k;
+    # 4. the JVM applies the ORIGINAL round(cosine, order_round) to the
+    #    (exactly transported) raw doubles and ranks the small kept set
+    #    with the original window — identical keys, identical ties,
+    #    identical output rows.
+    #
+    # Self-exclusion and the different-label filter still run BEFORE the
+    # top-k (masked in step 2), so exactness never depends on a
+    # shortlist. Shuffle/sort volume drops from |pairs| rows to
+    # ~partitions x queries x k.
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.collect()
+    spark = df.sparkSession
+    if not q_rows:
+        from pyspark.sql.types import (
+            DoubleType, IntegerType, LongType, StructField, StructType,
+        )
+
+        label_t = corpus.schema["label"].dataType
+        id_t = corpus.schema["id"].dataType
+        return spark.createDataFrame(
+            [],
+            StructType([
+                StructField("query_id", id_t),
+                StructField("query_label", label_t),
+                StructField("rank", IntegerType()),
+                StructField("id", id_t),
+                StructField("label", label_t),
+                StructField("cosine", DoubleType()),
+            ]),
+        )
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_labels = [r["query_label"] for r in q_rows]
+    # np.asarray keeps the element dtype Arrow delivered (float32 for
+    # array<float>, float64 for array<double>); the astype to float64 is
+    # then exactly the JVM's per-element cast-to-double
+    qm = np.stack(
+        [np.asarray(r["q_vec"]) for r in q_rows]
+    ).astype(np.float64)
+    n_dim = qm.shape[1]
+    q_norm_acc = np.zeros(len(q_rows))
+    for j in range(n_dim):
+        q_norm_acc = q_norm_acc + qm[:, j] * qm[:, j]
+    q_norms = np.sqrt(q_norm_acc)
+    slack = 1.01e-6 if order_round == 6 else 1.01 * 10.0 ** (-order_round)
+    diff_only = different_label_only
+    kk = k
+
+    def decision_pass(batches):
+        for pdf in batches:
+            nb = len(pdf)
+            if nb == 0:
+                continue
+            V = np.stack(
+                [np.asarray(v) for v in pdf["vec"]]
+            ).astype(np.float64)
+            acc = np.zeros((nb, len(q_ids)))
+            n_acc = np.zeros(nb)
+            for j in range(n_dim):
+                col = V[:, j]
+                acc = acc + col[:, None] * qm[None, :, j]
+                n_acc = n_acc + col * col
+            cos = acc / (np.sqrt(n_acc)[:, None] * q_norms[None, :])
+            ids = pdf["id"].to_numpy(np.int64)
+            valid = ids[:, None] != q_ids[None, :]
+            if diff_only:
+                codes, uniq = pd.factorize(
+                    pd.Series(list(pdf["label"]) + q_labels, dtype=object)
+                )
+                valid &= codes[:nb, None] != codes[nb:][None, :]
+            masked = np.where(valid, cos, -np.inf)
+            kth = -np.partition(-masked, min(kk, nb) - 1, axis=0)[
+                min(kk, nb) - 1
+            ]
+            keep = valid & (masked >= kth[None, :] - slack)
+            rows, qcols = np.nonzero(keep)
+            if rows.size == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qcols],
+                    "id": ids[rows],
+                    "_raw": cos[rows, qcols],
+                }
+            )
+
+    # pin the scan parallelism (CLAUDE.md): a single-row-group corpus
+    # parquet would run the whole decision pass on 1-2 tasks
+    par = spark.sparkContext.defaultParallelism
+    kept = (
+        corpus.repartition(par, "id")
+        .select("id", "label", "vec")
+        .mapInPandas(decision_pass, schema="query_id long, id long, _raw double")
     )
-    pairs = corpus.join(F.broadcast(queries)).filter(
-        F.col("id") != F.col("query_id")
-    )
-    if different_label_only:
-        # filter BEFORE the top-k reduction: top-k over the filtered
-        # stream is exact by construction (no candidate-shortlist bound)
-        pairs = pairs.filter(F.col("label") != F.col("query_label"))
-    scored = pairs.withColumn("cosine", F.round(cos, order_round)).select(
-        "query_id", "query_label", "id", "label", "cosine"
+    # reuse the Spark-side query subplan for the label attach: types
+    # (and values) are exactly the sampled rows, no re-declared schema
+    qmeta = queries.select("query_id", "query_label")
+    labels = corpus.select("id", "label")
+    scored = (
+        kept.withColumn("cosine", F.round(F.col("_raw"), order_round))
+        .select("query_id", "id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("id")
@@ -336,6 +445,8 @@ def _self_retrieval_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .join(F.broadcast(qmeta), "query_id")
+        .join(labels, "id")
         .select("query_id", "query_label", "rank", "id", "label", "cosine")
     )
 

@@ -63,11 +63,15 @@ def main() -> int:
     results: dict[str, dict] = {}
 
     def record(name, t0, *, rows_match=False, schema_match=False,
-               hash_match=False, spark_rows=None, oracle_rows=None, err=None):
+               hash_match=False, spark_rows=None, oracle_rows=None, err=None,
+               spark_secs=None, oracle_secs=None):
         results[name] = {
             "rows_match": rows_match, "schema_match": schema_match,
             "hash_match": hash_match, "spark_rows": spark_rows,
             "oracle_rows": oracle_rows, "secs": round(time.time() - t0, 2),
+            # round-5 verdict task 5: board time alone can't distinguish
+            # an engine regression from a slow oracle — record both sides
+            "spark_secs": spark_secs, "oracle_secs": oracle_secs,
             "err": err,
         }
 
@@ -91,41 +95,47 @@ def main() -> int:
             record(name, t0, err=f"spark error: {str(e)[:300]}")
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             continue
+        spark_secs = round(time.time() - t0, 2)
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             if len(sdf) == 0 and name not in ("q_minhash_dedup",):
                 failures.append((name, "0 rows"))
-                record(name, t0, spark_rows=0, err="0 rows")
+                record(name, t0, spark_rows=0, err="0 rows",
+                       spark_secs=spark_secs)
             else:
-                record(name, t0, rows_match=True, spark_rows=len(sdf))
+                record(name, t0, rows_match=True, spark_rows=len(sdf),
+                       spark_secs=spark_secs)
             continue
+        t_o = time.time()
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             failures.append((name, f"duckdb error: {e}"))
-            record(name, t0, spark_rows=len(sdf), err=f"duckdb error: {str(e)[:300]}")
+            record(name, t0, spark_rows=len(sdf), err=f"duckdb error: {str(e)[:300]}",
+                   spark_secs=spark_secs)
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             continue
+        oracle_secs = round(time.time() - t_o, 2)
         a, b = normalize(sdf), normalize(odf)
         nrows = {"spark_rows": len(a), "oracle_rows": len(b)}
         if list(a.columns) != list(b.columns):
             failures.append((name, f"columns {list(a.columns)} vs {list(b.columns)}"))
-            record(name, t0, rows_match=len(a) == len(b), **nrows)
+            record(name, t0, spark_secs=spark_secs, oracle_secs=oracle_secs, rows_match=len(a) == len(b), **nrows)
             print(f"FAIL {name}: columns {list(a.columns)} != {list(b.columns)}")
             continue
         if len(a) != len(b):
             failures.append((name, f"rows {len(a)} vs {len(b)}"))
-            record(name, t0, schema_match=True, **nrows)
+            record(name, t0, spark_secs=spark_secs, oracle_secs=oracle_secs, schema_match=True, **nrows)
             print(f"FAIL {name}: rows {len(a)} != {len(b)}")
             continue
         if not a.equals(b):
             neq = (a != b).any(axis=1)
             diff = pd.concat([a[neq].head(3), b[neq].head(3)])
             failures.append((name, "values"))
-            record(name, t0, rows_match=True, schema_match=True, **nrows)
+            record(name, t0, spark_secs=spark_secs, oracle_secs=oracle_secs, rows_match=True, schema_match=True, **nrows)
             print(f"FAIL {name}: value mismatch in {int(neq.sum())} rows\n{diff}")
             continue
-        record(name, t0, rows_match=True, schema_match=True, hash_match=True, **nrows)
+        record(name, t0, spark_secs=spark_secs, oracle_secs=oracle_secs, rows_match=True, schema_match=True, hash_match=True, **nrows)
         print(f"ok   {name}: {len(a)} rows match ({time.time()-t0:.1f}s)")
 
     n_checked = len([q for q in queries if not only or q in only])

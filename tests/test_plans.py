@@ -232,12 +232,15 @@ def test_span_dedup_skew_safe_enables_aqe_split(spark):
             spark.conf.set(k, v)
 
 
-def test_retrieval_topk_uses_partial_window_group_limit(spark):
-    """_self_retrieval_topk: the corpus side must NOT shuffle (queries
-    broadcast), and the per-query top-k must compile to WindowGroupLimit
-    with a Partial pass BEFORE the query_id exchange — the JVM-side
-    local-then-global reduction that bounds the shuffle at
-    partitions x queries x k rows (no MapInPandas in this path)."""
+def test_retrieval_topk_decision_pass_shape(spark):
+    """_self_retrieval_topk (round-6 shape): the corpus side is scanned
+    once by the numpy decision pass — a single MapInPandas that emits
+    only a provable per-query top-k superset — so the old full
+    |corpus| x |queries| pair join is GONE from the plan: no
+    BroadcastNestedLoopJoin, and the per-query window ranks only the
+    kept rows (WindowGroupLimit Partial/Final still bounds its
+    shuffle). The window's rank key must be the rounded cosine (the
+    cross-engine stability device)."""
     from cov_tiles_spark.operators.similarity import hard_negatives
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
@@ -245,11 +248,11 @@ def test_retrieval_topk_uses_partial_window_group_limit(spark):
         hard_negatives(emb, "embedding", "vec_id", "label", k=5,
                        query_rate=0.1, seed=5)
     )
-    assert "BroadcastNestedLoopJoin" in plan  # corpus never shuffled
-    assert "MapInPandas" not in plan  # whole-stage codegen path
+    assert "BroadcastNestedLoopJoin" not in plan  # no pair materialization
+    assert plan.count("MapInPandas") == 1, plan[:2000]
     partial = plan.index("Partial")
     final = plan.index("Final")
     exchange = plan.index("Exchange hashpartitioning(query_id")
     # plan prints top-down: Final above the exchange, Partial below it
-    assert final < exchange < partial, plan[:2000]
+    assert final < exchange < partial, plan[:3000]
     assert plan.count("WindowGroupLimit") == 2
