@@ -2089,6 +2089,17 @@ def q_sample_per_group(spark, sf_dir):
     )
 
 
+def _events_ids_par(spark, sf_dir):
+    """events.select(event_id) at core parallelism: the single-row-group
+    events parquet gives downstream synthesis + Python stages ONE scan
+    task otherwise (CLAUDE.md parallelism pin; measured 30-54s -> a few
+    seconds on the sf1 generalization gates). Keyed repartition:
+    deterministic under retry, no sort-before-repartition."""
+    return _t(spark, sf_dir, "events").select("event_id").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
+
+
 def _gen_hash(i):
     """Shared synthesis hash h(event_id, i) for the generalization gates.
 
@@ -2130,7 +2141,7 @@ def q_simplify_lines(spark, sf_dir, tol: int = 16):
     (scripts/build_oracles.py _dp_recursive)."""
     from cov_tiles_spark.spatial.generalize import simplify_lines
 
-    ev = _t(spark, sf_dir, "events").select("event_id")
+    ev = _events_ids_par(spark, sf_dir)
     pl = ev.select(
         "event_id",
         F.transform(
@@ -2165,7 +2176,7 @@ def q_clip_polygons(spark, sf_dir):
     cx = F.pmod(F.col("event_id") * F.lit(48271), F.lit(384)) - F.lit(64)
     cy = F.pmod(F.col("event_id") * F.lit(69621), F.lit(384)) - F.lit(64)
     radius = lambda i: F.lit(16) + F.pmod(_gen_hash(i), F.lit(48))  # noqa: E731
-    ev = _t(spark, sf_dir, "events").select("event_id")
+    ev = _events_ids_par(spark, sf_dir)
     rings = ev.select(
         "event_id",
         F.transform(
@@ -2201,7 +2212,7 @@ def q_clip_lines(spark, sf_dir):
     off = F.when(F.pmod(F.col("event_id"), F.lit(17)) == 0, F.lit(400)).otherwise(
         F.lit(0)
     )
-    ev = _t(spark, sf_dir, "events").select("event_id")
+    ev = _events_ids_par(spark, sf_dir)
     lines = ev.select(
         "event_id",
         F.transform(
@@ -2286,7 +2297,7 @@ def q_merge_lines(spark, sf_dir):
     (scripts/build_oracles.py _merge_twin)."""
     from cov_tiles_spark.spatial.generalize import merge_lines
 
-    ev = _t(spark, sf_dir, "events").select("event_id")
+    ev = _events_ids_par(spark, sf_dir)
     m = F.lit(8) + F.pmod(F.col("event_id"), F.lit(25))
     x_at = lambda i: (i * F.lit(100) + F.pmod(_gen_hash(i), F.lit(37))).cast("long")  # noqa: E731
     y_at = lambda i: (  # noqa: E731
@@ -2368,7 +2379,7 @@ def q_simplify_rings(spark, sf_dir, tol: int = 12):
     cx = F.pmod(F.col("event_id") * F.lit(48271), F.lit(4096))
     cy = F.pmod(F.col("event_id") * F.lit(69621), F.lit(4096))
     radius = lambda i: F.lit(24) + F.pmod(_gen_hash(i), F.lit(7))  # noqa: E731
-    ev = _t(spark, sf_dir, "events").select("event_id")
+    ev = _events_ids_par(spark, sf_dir)
     rings = ev.select(
         "event_id",
         F.transform(
