@@ -721,7 +721,7 @@ def q_tile_pyramid(spark, sf_dir):
     from cov_tiles_spark.pipeline.materialize import decode_tiles
     from cov_tiles_spark.pipeline.pyramid import materialize_pyramid
 
-    imgs = _events_images(spark, sf_dir)
+    imgs = _events_images_fast(spark, sf_dir)
     tiles = materialize_pyramid(
         imgs, 2, 6, with_mvt_baseline=False, max_features_per_tile=_GATE_CAP
     )
@@ -742,8 +742,10 @@ def q_delta_tiles(spark, sf_dir):
     from cov_tiles_spark.pipeline.materialize import decode_tiles
 
     lake = IcebergLite(spark, tempfile.mkdtemp(prefix="delta_gate_"))
-    imgs = _events_images(spark, sf_dir)
-    half = imgs.filter(F.substring("image_id", 16, 1).isin("0", "2", "4", "6", "8"))
+    imgs = _events_images_fast(spark, sf_dir)
+    # same half: substring(img-%012d, 16, 1) in {0,2,4,6,8} selected the
+    # ids with an even last digit, i.e. exactly the even event_ids
+    half = imgs.filter(F.col("image_id") % 2 == 0)
     delta_materialize(lake, half, [2, 4, 6], partition_buckets=32,
                       max_features_per_tile=_GATE_CAP)
     stats = delta_materialize(lake, imgs, [2, 4, 6], partition_buckets=32,
@@ -766,7 +768,7 @@ def q_overzoom(spark, sf_dir):
     )
     from cov_tiles_spark.pipeline.overzoom import overzoom_tiles
 
-    imgs = _events_images(spark, sf_dir)
+    imgs = _events_images_fast(spark, sf_dir)
     parents = encode_assigned(
         assign_tiles(imgs, [4]), with_mvt_baseline=False,
         max_features_per_tile=_GATE_CAP,
@@ -989,6 +991,8 @@ def q_bpe_train(spark, sf_dir):
     from cov_tiles_spark.operators.bpe import bpe_merges_df
 
     d = _t(spark, sf_dir, "documents")
+    # pin the word-count pass's parallelism (single-row-group scan trap)
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return bpe_merges_df(d, "text", n_merges=40).orderBy("rank")
 
 
@@ -1706,7 +1710,11 @@ def q_bm25_topk(spark, sf_dir):
     from cov_tiles_spark.operators.bm25 import bm25_index, bm25_topk
 
     d = _t(spark, sf_dir, "documents")
-    postings, df, doclen = bm25_index(d)
+    # pin the index build's parallelism: the single-row-group documents
+    # scan otherwise runs the explode + map-side tf combine on one task
+    # (CLAUDE.md); the operator itself stays exchange-free by contract
+    d_par = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    postings, df, doclen = bm25_index(d_par)
     postings = postings.persist()  # scored twice below (stats + hits)
     st = doclen.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")

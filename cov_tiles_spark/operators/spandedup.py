@@ -104,7 +104,11 @@ def window_hash_rows(
                  "h2": pd.Series(h2s, dtype="int64")}
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    # pin the hashing stage's parallelism (CLAUDE.md): a single-row-group
+    # corpus parquet otherwise runs the Python window-hash pass on 1-2
+    # scan tasks. Keyed repartition: deterministic under retry.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(id_col, text_col).repartition(par, id_col).mapInPandas(
         gen, schema=f"{id_col} long, pos int, h1 long, h2 long"
     )
 
