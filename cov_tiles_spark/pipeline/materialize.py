@@ -205,6 +205,71 @@ def _concat_arrays(a: dict, b: dict) -> dict:
     return {k: np.concatenate([a[k], b[k]]) for k in a}
 
 
+def _extract_arrays_arrow(batch) -> dict[str, np.ndarray]:
+    """Arrow-native twin of :func:`_extract_arrays` (guide §4.1/§4.2):
+    taking the record batch directly skips the Arrow→pandas conversion,
+    whose per-row Python string objects (image_id/caption/fmt over 3M
+    rows) were ~2/3 of the encode stage's wall at sf1. Strings are
+    dictionary-encoded in C and materialized as an object GATHER over
+    the few unique values (new Python strings are created once per
+    unique, not once per row)."""
+    import pyarrow as pa
+
+    def obj(name):
+        d = batch.column(name).dictionary_encode()
+        uniq = np.asarray(d.dictionary.to_pylist(), dtype=object)
+        return uniq[d.indices.to_numpy(zero_copy_only=False)]
+
+    def i64(name):
+        return batch.column(name).to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+
+    id_col = batch.column("image_id")
+    if pa.types.is_integer(id_col.type):
+        ids = id_col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    else:
+        import pyarrow.compute as pc
+
+        ids = (
+            pc.cast(pc.utf8_slice_codeunits(id_col, 4), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+    return {
+        "z": i64("z"),
+        "x": i64("x"),
+        "y": i64("y"),
+        "ids": ids,
+        "local_x": i64("local_x"),
+        "local_y": i64("local_y"),
+        "caption": obj("caption"),
+        "fmt": obj("fmt"),
+        "w": i64("w"),
+        "h": i64("h"),
+        "phash": i64("phash"),
+    }
+
+
+def _payload_batch(out: list[dict]):
+    """list of per-tile payload dicts → one Arrow RecordBatch matching
+    PAYLOAD_SCHEMA (ints as numpy, payload bytes via pa.array)."""
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(np.array([r["z"] for r in out], np.int32)),
+            pa.array(np.array([r["x"] for r in out], np.int32)),
+            pa.array(np.array([r["y"] for r in out], np.int32)),
+            pa.array(np.array([r["num_features"] for r in out], np.int64)),
+            pa.array([r["payload"] for r in out], type=pa.binary()),
+            pa.array(np.array([r["payload_bytes"] for r in out], np.int64)),
+            pa.array(np.array([r["mvt_bytes"] for r in out], np.int64)),
+        ],
+        names=["z", "x", "y", "num_features", "payload",
+               "payload_bytes", "mvt_bytes"],
+    )
+
+
 def _encode_tiles_in(
     arrs: dict, end: int, with_mvt: bool, out: list, cap: int | None = None,
     wire_format: str = "gena",
@@ -263,10 +328,10 @@ def _make_encode_stream(
         def key_at(arrs, i):
             return (int(arrs["z"][i]), int(arrs["x"][i]), int(arrs["y"][i]))
 
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            arrs = _extract_arrays(pdf)
+            arrs = _extract_arrays_arrow(rb)
             n = arrs["z"].shape[0]
             out: list[dict] = []
 
@@ -315,12 +380,12 @@ def _make_encode_stream(
             carry = {k: v[split : split + max_features] for k, v in rest.items()}
             saturated = carry["z"].shape[0] >= max_features
             if out:
-                yield pd.DataFrame(out)
+                yield _payload_batch(out)
         if carry is not None and carry["z"].shape[0]:
             out = []
             _encode_tiles_in(carry, carry["z"].shape[0], with_mvt_baseline, out,
                              wire_format=wire_format)
-            yield pd.DataFrame(out)
+            yield _payload_batch(out)
 
     return encode_stream
 
@@ -502,7 +567,7 @@ def encode_assigned(
         part = assigned.repartition(num_parts, "z", "x", "y").sortWithinPartitions(
             "z", "x", "y", "image_id"
         )
-        return part.select(*_STREAM_COLS).mapInPandas(
+        return part.select(*_STREAM_COLS).mapInArrow(
             _make_encode_stream(with_mvt_baseline, max_features_per_tile, wire_format),
             schema=PAYLOAD_SCHEMA,
         )
@@ -522,7 +587,7 @@ def encode_assigned(
     part = staged.repartition(num_parts, "z", "x", "y").sortWithinPartitions(
         "z", "x", "y", "_sk", "image_id"
     )
-    return part.select(*_STREAM_COLS).mapInPandas(
+    return part.select(*_STREAM_COLS).mapInArrow(
         _make_encode_stream(with_mvt_baseline, max_features_per_tile, wire_format),
         schema=PAYLOAD_SCHEMA,
     )
@@ -569,7 +634,16 @@ def decode_tiles(
         else {"id", *str_props, *int_props} | ({"geometry"} if with_geom else set())
     )
 
+    col_names = [p.split()[0] for p in schema_parts]
+
     def _decode(batches):
+        # Arrow-native output (guide §4.1): string columns are built by a
+        # C-level take over each tile's decoded DICTIONARY (the payload
+        # already stores them dictionary-encoded) instead of 3M per-row
+        # Python strings through the pandas conversion.
+        import pyarrow as pa
+        import pyarrow.compute as pac
+
         if wire_format == "genb":
             from cov_tiles_spark.covt.genb import decode_tile_genb
 
@@ -577,35 +651,48 @@ def decode_tiles(
                 return decode_tile_genb(payload, columns=genb_cols)
         else:
             decode = decode_covt
-        for pdf in batches:
-            outs = []
-            for _, row in pdf.iterrows():
-                layers = decode(bytes(row["payload"]))
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            zs = rb.column("z").to_numpy(zero_copy_only=False)
+            xs = rb.column("x").to_numpy(zero_copy_only=False)
+            ys = rb.column("y").to_numpy(zero_copy_only=False)
+            payloads_col = rb.column("payload")
+            per_col: dict[str, list] = {c: [] for c in col_names}
+            for ti in range(rb.num_rows):
+                layers = decode(payloads_col[ti].as_py())
                 lay = layers["images"]
                 n = lay.metadata.num_features
-                rec = {
-                    "z": np.full(n, row["z"], np.int32),
-                    "x": np.full(n, row["x"], np.int32),
-                    "y": np.full(n, row["y"], np.int32),
-                    "feature_id": lay.ids.astype(np.int64),
-                }
+                per_col["z"].append(np.full(n, zs[ti], np.int32))
+                per_col["x"].append(np.full(n, xs[ti], np.int32))
+                per_col["y"].append(np.full(n, ys[ti], np.int32))
+                per_col["feature_id"].append(lay.ids.astype(np.int64))
                 if with_geom:
                     vb = lay.geometry.vertex_buffer
-                    rec["local_x"] = vb[0::2].astype(np.int32)
-                    rec["local_y"] = vb[1::2].astype(np.int32)
+                    per_col["local_x"].append(vb[0::2].astype(np.int32))
+                    per_col["local_y"].append(vb[1::2].astype(np.int32))
                 for name in str_props:
                     pc = lay.properties[name]
-                    rec[name] = np.asarray(pc.dictionary, dtype=object)[
-                        pc.data.astype(np.int64)
-                    ]
+                    per_col[name].append(
+                        pac.take(
+                            pa.array(list(pc.dictionary), type=pa.string()),
+                            pa.array(pc.data.astype(np.int64)),
+                        )
+                    )
                 for name in int_props:
-                    rec[name] = lay.properties[name].data.astype(np.int64)
-                outs.append(pd.DataFrame(rec))
-            yield pd.concat(outs) if outs else pd.DataFrame(
-                columns=[f.split()[0] for f in schema.split(", ")]
-            )
+                    per_col[name].append(
+                        lay.properties[name].data.astype(np.int64)
+                    )
+            arrays = []
+            for c in col_names:
+                parts = per_col[c]
+                if c in str_props:
+                    arrays.append(pa.concat_arrays(parts))
+                else:
+                    arrays.append(pa.array(np.concatenate(parts)))
+            yield pa.RecordBatch.from_arrays(arrays, names=col_names)
 
-    return payloads.mapInPandas(_decode, schema=schema)
+    return payloads.mapInArrow(_decode, schema=schema)
 
 
 def decode_tiles_via_mvt(payloads: DataFrame) -> DataFrame:
