@@ -1093,6 +1093,11 @@ def q_repetition(spark, sf_dir):
     from cov_tiles_spark.operators.text import repetition_stats
 
     d = _t(spark, sf_dir, "documents")
+    # pin parallelism for the gate run: the operator itself stays
+    # map-only (plan-pinned), but the single-row-group scan would run
+    # the whole array stage on one task — and the final orderBy's range
+    # sampler executes it twice
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return repetition_stats(d).orderBy("doc_id")
 
 

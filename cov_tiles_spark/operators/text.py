@@ -183,15 +183,31 @@ def repetition_stats(
     formulation computes the same numbers with two corpus-scale
     shuffles; per-document state is bounded by doc length, so the
     array form is strictly better here.)"""
+    # Stage the arrays as BOUND COLUMNS between selects. Passing the
+    # raw `split(...)` expression into the gram builders embedded a copy
+    # of the regex split inside every transform lambda / element_at, so
+    # the split re-executed once per gram element (~350x per doc) —
+    # measured 81s -> ~1s at sf0.1 for identical output. Still map-only:
+    # chained narrow selects, no exchange (plan-pinned).
     t = F.trim(F.col(text_col))
-    words = F.split(t, r"\s+")
-    n = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(words))
-    return df.select(
-        F.col(id_col),
-        n.cast("long").alias("n_words"),
-        _dup_frac(F.when(n > 0, words).otherwise(
+    words_e = F.split(t, r"\s+")
+    staged = df.select(F.col(id_col), t.alias("_t"), words_e.alias("_w"))
+    n = F.when(F.length("_t") == 0, F.lit(0)).otherwise(F.size("_w"))
+    staged = staged.select(id_col, F.col("_w"), n.alias("_n"))
+    words, nn = F.col("_w"), F.col("_n")
+    staged = staged.select(
+        id_col,
+        "_n",
+        F.when(nn > 0, words).otherwise(
             F.array().cast("array<string>")
-        )).alias("dup_word_frac"),
-        _dup_frac(_word_ngrams(words, n, 2)).alias("dup_2gram_frac"),
-        _dup_frac(_word_ngrams(words, n, 5)).alias("dup_5gram_frac"),
+        ).alias("_wa"),
+        _word_ngrams(words, nn, 2).alias("_g2"),
+        _word_ngrams(words, nn, 5).alias("_g5"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("_n").cast("long").alias("n_words"),
+        _dup_frac(F.col("_wa")).alias("dup_word_frac"),
+        _dup_frac(F.col("_g2")).alias("dup_2gram_frac"),
+        _dup_frac(F.col("_g5")).alias("dup_5gram_frac"),
     )
