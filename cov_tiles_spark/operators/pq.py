@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cov_tiles_spark.operators import single_partition_key
+
 
 def _kmeans_1sub(m: np.ndarray, k: int, iters: int) -> np.ndarray:
     """Deterministic k-means on one subspace sample (euclidean)."""
@@ -138,7 +140,7 @@ def pq_topk(
             # Defined ... single partition" warning for what is the
             # designed post-limit shape.
             F.row_number().over(
-                Window.partitionBy(F.lit(0)).orderBy(
+                Window.partitionBy(single_partition_key("id")).orderBy(
                     F.col("_ord").desc(), F.col("id")
                 )
             ),

@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from cov_tiles_spark.operators import single_partition_key
+
 
 def _dot_expr(a, b):
     # cast BEFORE multiply: float32 products differ from double products at
@@ -92,7 +94,7 @@ def cosine_topk(
             # constant partition key == the single-partition execution a
             # global limit already implies; avoids the unpartitioned-
             # window warning (round-5 verdict item 3 discipline)
-            Window.partitionBy(F.lit(0)).orderBy(F.col("_ord").desc(), F.col("id"))
+            Window.partitionBy(single_partition_key("id")).orderBy(F.col("_ord").desc(), F.col("id"))
         ))
         .select("rank", "id", "cosine")
     )
@@ -254,7 +256,7 @@ def ivf_topk(
             # constant partition key == the single-partition execution a
             # global limit already implies; avoids the unpartitioned-
             # window warning (round-5 verdict item 3 discipline)
-            Window.partitionBy(F.lit(0)).orderBy(F.col("_ord").desc(), F.col("id"))
+            Window.partitionBy(single_partition_key("id")).orderBy(F.col("_ord").desc(), F.col("id"))
         ))
         .select("rank", "id", "cosine")
     )
@@ -586,7 +588,7 @@ def ann_lsh_topk(
         .orderBy(F.col("cosine").desc(), F.col("id"))
         .limit(k)
         .withColumn("rank", F.row_number().over(
-            Window.partitionBy(F.lit(0)).orderBy(F.col("cosine").desc(), F.col("id"))
+            Window.partitionBy(single_partition_key("id")).orderBy(F.col("cosine").desc(), F.col("id"))
         ))
         .select("rank", "id", "cosine")
     )
@@ -701,7 +703,7 @@ def ivf_probe_topk(
             # constant partition key == the single-partition execution a
             # global limit already implies; avoids the unpartitioned-
             # window warning (round-5 verdict item 3 discipline)
-            Window.partitionBy(F.lit(0)).orderBy(F.col("_ord").desc(), F.col("id"))
+            Window.partitionBy(single_partition_key("id")).orderBy(F.col("_ord").desc(), F.col("id"))
         ))
         .select("rank", "id", "cosine")
     )
