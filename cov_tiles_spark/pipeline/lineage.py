@@ -75,6 +75,7 @@ class IcebergLite:
         df: DataFrame,
         partition_col: str,
         mode: str = "skip-done",
+        cluster: bool = False,
     ) -> DataFrame:
         """Write ``df`` partitioned by ``partition_col``, skipping already-
         committed partitions; append manifest rows with row/byte metrics
@@ -85,7 +86,20 @@ class IcebergLite:
         is written as a NEW snapshot — readers using
         ``read_table(latest_only=True)`` see the new version, the old
         snapshot stays readable via time travel (Iceberg's upsert shape;
-        used by delta_materialize for changed partitions)."""
+        used by delta_materialize for changed partitions).
+
+        ``cluster=True`` repartitions by ``partition_col`` before the
+        write, so each hive partition dir gets ONE file instead of one
+        file per upstream task touching it (a 256-task encode feeding 32
+        buckets otherwise writes ~task x bucket small files; measured
+        812 files -> 32 on the delta gate, and every later
+        ``read_table`` scan lists/opens proportionally fewer files —
+        guide-§6 output sizing). The same shuffle co-locates the
+        metrics groupBy, which then needs no exchange of its own. Leave
+        False when the caller already clusters (compact_partitions), in
+        per-record streaming commits (a blocking per-batch shuffle), or
+        when one partition key is planet-hot (identical keys land on ONE
+        task — the repartitionByRange tiebreak gotcha applies)."""
         if mode not in ("skip-done", "overwrite"):
             raise ValueError(f"unknown commit mode {mode!r}")
         if mode == "skip-done":
@@ -103,6 +117,8 @@ class IcebergLite:
 
         snapshot_id = uuid.uuid4().hex[:16]
         data_dir = f"{self.root}/{table}/snapshot_id={snapshot_id}"
+        if cluster:
+            df = df.repartition(F.col(partition_col))
         pending = df.cache()
         # per-partition metrics + checksum (xxhash64 of every cell, xor-agg)
         cols = [c for c in pending.columns]

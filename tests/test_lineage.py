@@ -133,3 +133,30 @@ def test_rollback_drops_later_snapshots(spark, lake):
     again = lake.commit_partitions("rb", "s2", b, "bucket")
     assert again.count() == 1
     assert lake.read_table("rb").count() == 9
+
+
+def test_clustered_commit_writes_one_file_per_partition(spark, lake):
+    """cluster=True repartitions by the partition column before the
+    hive write: each partition dir holds ONE file (vs one per upstream
+    task touching it — the small-files shape the delta gate measured as
+    812 files / 2.4x slower commits+reads), rows and manifest metrics
+    identical to an unclustered commit."""
+    import glob
+
+    df = (
+        spark.range(400)
+        .repartition(8)  # every task holds rows of every bucket
+        .select(
+            F.col("id"), (F.col("id") % 4).cast("string").alias("bucket")
+        )
+    )
+    m = lake.commit_partitions(
+        "tc", "load", df, "bucket", mode="overwrite", cluster=True
+    ).collect()
+    assert sorted(r.partition_key for r in m) == ["0", "1", "2", "3"]
+    for pdir in glob.glob(f"{lake.root}/tc/snapshot_id=*/bucket=*"):
+        files = glob.glob(f"{pdir}/part-*.parquet")
+        assert len(files) == 1, (pdir, files)
+    got = lake.read_table("tc", latest_only=True)
+    assert got.count() == 400
+    assert got.agg(F.sum("id")).collect()[0][0] == sum(range(400))
