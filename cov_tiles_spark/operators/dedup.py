@@ -591,7 +591,6 @@ def ngram_jaccard_pairs(
             "ids",
             *[F.col("mask")[i].alias(f"w{i}") for i in range(n_words)],
         )
-        a, b = rep.alias("a"), rep.alias("b")
         inter = sum(
             F.bit_count(
                 F.col(f"a.w{i}").bitwiseAND(F.col(f"b.w{i}"))
@@ -600,9 +599,15 @@ def ngram_jaccard_pairs(
         )
     else:
         rep = classes.select("block", "min_id", "sz", "ids", "grams")
-        a, b = rep.alias("a"), rep.alias("b")
         inter = F.size(F.array_intersect("a.grams", "b.grams")).cast("long")
 
+    # pin the verify join's width too: `rep` rows are tiny (a few
+    # bitset words per class), so AQE's byte-based coalescing would
+    # narrow the block-equi self-join whose ON clause carries the
+    # CPU-bound bit_count/array_intersect pair evaluation (CLAUDE.md);
+    # both aliases share the one pinned exchange
+    rep = rep.repartition(par, "block")
+    a, b = rep.alias("a"), rep.alias("b")
     cond = (
         (F.col("a.block") == F.col("b.block"))
         & (F.col("a.min_id") < F.col("b.min_id"))

@@ -182,16 +182,24 @@ def pq_candidate_ids(
     query: list[float],
     k: int,
     codebooks: np.ndarray,
+    order_round: int | None = None,
 ) -> DataFrame:
     """ADC top-k candidate ID SET (no ranks): the shortlist feeding an
     exact re-rank only needs membership, so this skips
     :func:`pq_topk`'s post-limit rank window entirely — the same scored
-    TakeOrdered, one less single-partition pass. With ``k`` >= the
-    corpus size (the provably-exact gate setting) the limit is the
-    whole scored set and the saved pass is a full-corpus one."""
+    TakeOrdered, one less single-partition pass. ``order_round`` MUST
+    match the :func:`pq_topk` call it substitutes for: the k-boundary
+    is decided by the (rounded-or-raw score desc, id) key, so differing
+    keys can admit different ids when ``k`` < corpus size. With ``k``
+    >= the corpus size (the provably-exact gate setting) every id
+    qualifies under either key."""
+    order_key = (
+        F.round(F.col("score"), order_round) if order_round is not None
+        else F.col("score")
+    )
     return (
         _pq_scored(encoded, id_col, query, codebooks)
-        .orderBy(F.col("score").desc(), F.col("id"))
+        .orderBy(order_key.desc(), F.col("id"))
         .limit(k)
         .select("id")
     )

@@ -370,7 +370,19 @@ def _self_retrieval_topk(
                 StructField("cosine", DoubleType()),
             ]),
         )
-    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    # id dtype follows the corpus schema (the empty-queries branch above
+    # already does): integral ids ride int64 numpy, anything else rides
+    # object arrays and the id column's own Spark type in the mapInPandas
+    # schema. (The operator contract is integral ids regardless —
+    # sample_hash above does ring arithmetic on the id — but the schema
+    # must not silently widen int ids to long.)
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_t = corpus.schema["id"].dataType
+    id_integral = isinstance(id_t, (ByteType, ShortType, IntegerType, LongType))
+    id_np = np.int64 if id_integral else object
+    id_sql = id_t.simpleString()
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=id_np)
     q_labels = [r["query_label"] for r in q_rows]
     # np.asarray keeps the element dtype Arrow delivered (float32 for
     # array<float>, float64 for array<double>); the astype to float64 is
@@ -402,18 +414,30 @@ def _self_retrieval_topk(
                 acc = acc + col[:, None] * qm[None, :, j]
                 n_acc = n_acc + col * col
             cos = acc / (np.sqrt(n_acc)[:, None] * q_norms[None, :])
-            ids = pdf["id"].to_numpy(np.int64)
+            ids = pdf["id"].to_numpy(id_np)
             valid = ids[:, None] != q_ids[None, :]
             if diff_only:
                 codes, uniq = pd.factorize(
                     pd.Series(list(pdf["label"]) + q_labels, dtype=object)
                 )
-                valid &= codes[:nb, None] != codes[nb:][None, :]
-            masked = np.where(valid, cos, -np.inf)
+                # SQL ternary logic for the replaced `label != q_label`
+                # filter: a NULL on EITHER side makes the predicate NULL
+                # -> row filtered. factorize maps NULL to sentinel -1,
+                # which would otherwise read as "different" and KEEP the
+                # pair the JVM path excludes.
+                row_c, q_c = codes[:nb, None], codes[nb:][None, :]
+                valid &= (row_c != q_c) & (row_c != -1) & (q_c != -1)
+            # NaN cosines (zero-norm or NaN-component vectors): the JVM
+            # window sorts NaN FIRST under desc, so such rows belong in
+            # the superset unconditionally — and they must not poison
+            # the finite k-th threshold (NaN kth would drop every finite
+            # candidate in the batch).
+            nan_c = np.isnan(cos)
+            masked = np.where(valid & ~nan_c, cos, -np.inf)
             kth = -np.partition(-masked, min(kk, nb) - 1, axis=0)[
                 min(kk, nb) - 1
             ]
-            keep = valid & (masked >= kth[None, :] - slack)
+            keep = valid & (nan_c | (masked >= kth[None, :] - slack))
             rows, qcols = np.nonzero(keep)
             if rows.size == 0:
                 continue
@@ -431,14 +455,27 @@ def _self_retrieval_topk(
     kept = (
         corpus.repartition(par, "id")
         .select("id", "label", "vec")
-        .mapInPandas(decision_pass, schema="query_id long, id long, _raw double")
+        .mapInPandas(
+            decision_pass,
+            schema=f"query_id {id_sql}, id {id_sql}, _raw double",
+        )
     )
     # reuse the Spark-side query subplan for the label attach: types
     # (and values) are exactly the sampled rows, no re-declared schema
     qmeta = queries.select("query_id", "query_label")
     labels = corpus.select("id", "label")
+    # the pandas->Arrow boundary coerces NaN doubles to NULL; a NULL
+    # _raw can ONLY be a NaN cosine (the numpy pass emits real float64,
+    # never None), so restore it — NULL would sort LAST under the desc
+    # window where the JVM's own NaN sorts FIRST (and the old pure-JVM
+    # path emitted that NaN cosine in the output row)
     scored = (
-        kept.withColumn("cosine", F.round(F.col("_raw"), order_round))
+        kept.withColumn(
+            "cosine",
+            F.round(
+                F.coalesce(F.col("_raw"), F.lit(float("nan"))), order_round
+            ),
+        )
         .select("query_id", "id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(

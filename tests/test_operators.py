@@ -852,3 +852,70 @@ def test_repetition_stats_plan_is_map_only(spark):
     plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_hard_negatives_nan_and_null_label_semantics(spark):
+    """Degenerate inputs match the JVM/SQL semantics the decision pass
+    replaced: (a) a zero-norm corpus vector (NaN cosine) ranks FIRST
+    under the desc window (Spark orders NaN above every double) and
+    must not poison the finite k-th threshold for the rest of the
+    batch; (b) a NULL label makes `label != query_label` NULL, so such
+    pairs are EXCLUDED from hard negatives (not treated as
+    'different')."""
+    from cov_tiles_spark.operators.sampling import sample_hash, threshold
+    from cov_tiles_spark.operators.similarity import hard_negatives
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(60):
+        if i == 7:
+            vec = [0.0] * 8            # zero norm -> NaN cosine vs all
+            label = 99                  # different from every query label
+        elif i % 11 == 3:
+            vec = rng.normal(size=8).tolist()
+            label = None                # NULL label -> never a negative
+        else:
+            vec = rng.normal(size=8).tolist()
+            label = i % 3
+        rows.append((i, label, vec))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = hard_negatives(
+        df, "embedding", "vec_id", "label", k=4, query_rate=0.3, seed=5
+    ).collect()
+
+    # NULL-label rows never appear as negatives
+    assert all(r.label is not None for r in out)
+    # NULL-label queries get no rows at all
+    null_ids = {i for i, lab, _ in rows if lab is None}
+    assert all(r.query_id not in null_ids for r in out)
+
+    qids = [
+        r.vec_id
+        for r in df.select("vec_id")
+        .filter(sample_hash(F.col("vec_id"), 5) < F.lit(threshold(0.3)))
+        .collect()
+        if r.vec_id not in null_ids
+    ]
+    per = {}
+    for r in out:
+        per.setdefault(r.query_id, []).append(r)
+    assert set(per) == set(qids)
+    labels = {i: lab for i, lab, _ in rows}
+    mat = np.stack([np.asarray(v, dtype=np.float64) for _, _, v in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    for qid in qids:
+        entries = sorted(per[qid], key=lambda r: r.neg_rank)
+        assert [r.neg_rank for r in entries] == list(range(1, 5))
+        # rank 1 is the NaN row (id 7): NaN sorts first under desc
+        assert entries[0].id == 7 and np.isnan(entries[0].cosine)
+        # ranks 2..4 equal the numpy twin over FINITE different-label rows
+        cos = np.round(mat @ mat[qid] / (norms * norms[qid]), 6)
+        cand = [
+            (i, labels[i]) for i in range(60)
+            if i != qid and i != 7 and labels[i] is not None
+            and labels[i] != labels[qid]
+        ]
+        cand.sort(key=lambda t: (-cos[t[0]], t[0]))
+        assert [(r.id, r.label) for r in entries[1:]] == cand[:3]
