@@ -911,7 +911,8 @@ def test_hard_negatives_nan_and_null_label_semantics(spark):
         # rank 1 is the NaN row (id 7): NaN sorts first under desc
         assert entries[0].id == 7 and np.isnan(entries[0].cosine)
         # ranks 2..4 equal the numpy twin over FINITE different-label rows
-        cos = np.round(mat @ mat[qid] / (norms * norms[qid]), 6)
+        with np.errstate(invalid="ignore"):  # row 7's 0/0 is the point
+            cos = np.round(mat @ mat[qid] / (norms * norms[qid]), 6)
         cand = [
             (i, labels[i]) for i in range(60)
             if i != qid and i != 7 and labels[i] is not None
